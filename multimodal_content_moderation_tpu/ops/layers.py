@@ -1,0 +1,155 @@
+"""Pure-JAX compute primitives shared by all encoders and heads.
+
+Design notes (TPU-first):
+
+- Linear weights are stored ``(in_features, out_features)`` so every dense is
+  a plain ``x @ w`` that XLA tiles straight onto the MXU; HF/torch weights are
+  transposed once at conversion time (models/convert.py), never per-step.
+- Patch embedding is a reshape/transpose + one large GEMM (``patchify`` +
+  ``dense``) rather than a convolution: for stride==kernel "conv" the two are
+  mathematically identical, and the GEMM form both maps better to the MXU and
+  composes with the Pallas fused normalize+patchify kernel (ops/pallas_image).
+- All matmuls request ``preferred_element_type=float32`` so bf16 inputs
+  accumulate in fp32 (required to hit 1e-3 logit parity vs the fp32 torch
+  reference).
+- Softmax/LayerNorm statistics are computed in fp32 regardless of the compute
+  dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """CLIP's activation: ``x * sigmoid(1.702 * x)``."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
+    """The tanh-approximate GELU used by SigLIP (= torch ``gelu_pytorch_tanh``)."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU, used by torch ``nn.GELU()`` in the reference heads."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACTIVATIONS = {
+    "quick_gelu": quick_gelu,
+    "gelu_pytorch_tanh": gelu_tanh,
+    "gelu_tanh": gelu_tanh,
+    "gelu": gelu_exact,
+}
+
+
+def dense(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """Affine layer. ``p = {"w": (in, out), "b": (out,)} `` (b optional)."""
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    if "b" in p and p["b"] is not None:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def layer_norm(x: jnp.ndarray, p: dict, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm over the last axis with fp32 statistics.
+
+    ``p = {"scale": (d,), "bias": (d,)}``. Matches torch ``nn.LayerNorm``
+    (biased variance, eps inside the sqrt).
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array]) -> jnp.ndarray:
+    """Inverted dropout. Identity when ``rng is None`` (eval) or rate == 0."""
+    if rng is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def patchify(pixel_values: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """[B, C, H, W] -> [B, (H/p)*(W/p), C*p*p] non-overlapping patches.
+
+    Equivalent to the im2col of a stride==kernel conv; the channel-major
+    (C, ph, pw) ordering inside each patch matches torch
+    ``Conv2d.weight.reshape(d, -1)`` so a converted conv kernel multiplies
+    correctly.
+    """
+    B, C, H, W = pixel_values.shape
+    p = patch_size
+    nh, nw = H // p, W // p
+    x = pixel_values.reshape(B, C, nh, p, nw, p)
+    x = x.transpose(0, 2, 4, 1, 3, 5)  # [B, nh, nw, C, p, p]
+    return x.reshape(B, nh * nw, C * p * p)
+
+
+def mha(
+    x_q: jnp.ndarray,
+    x_kv: jnp.ndarray,
+    p: dict,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Multi-head attention with fp32 softmax.
+
+    ``p`` holds ``q``/``k``/``v``/``o`` dense params. ``mask`` is an additive
+    fp32 bias broadcastable to [B, heads, Tq, Tk] (use large negatives for
+    masked positions, matching the torch additive-mask convention).
+    """
+    B, Tq, D = x_q.shape
+    Tk = x_kv.shape[1]
+    h = num_heads
+    dh = D // h
+
+    q = dense(x_q, p["q"]).reshape(B, Tq, h, dh).transpose(0, 2, 1, 3)
+    k = dense(x_kv, p["k"]).reshape(B, Tk, h, dh).transpose(0, 2, 1, 3)
+    v = dense(x_kv, p["v"]).reshape(B, Tk, h, dh).transpose(0, 2, 1, 3)
+
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1).astype(x_q.dtype)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32
+    ).astype(x_q.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
+    return dense(out, p["o"])
+
+
+def transformer_block(
+    x: jnp.ndarray,
+    p: dict,
+    num_heads: int,
+    act: str,
+    mask: Optional[jnp.ndarray] = None,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Pre-LN transformer block shared by the CLIP and SigLIP towers.
+
+    ``p = {"ln1", "attn", "ln2", "fc1", "fc2"}``. Mirrors HF
+    CLIPEncoderLayer / SiglipEncoderLayer semantics.
+    """
+    activation = ACTIVATIONS[act]
+    res = x
+    y = layer_norm(x, p["ln1"], eps)
+    x = res + mha(y, y, p["attn"], num_heads, mask)
+    res = x
+    y = layer_norm(x, p["ln2"], eps)
+    y = dense(y, p["fc1"])
+    y = activation(y)
+    y = dense(y, p["fc2"])
+    return res + y
