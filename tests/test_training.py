@@ -1,0 +1,283 @@
+"""Training-layer tests: metrics parity, sampling, optimizer groups,
+multi-device train loop on the virtual 8-device CPU mesh, checkpoints."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_content_moderation_tpu.data.dataset import CSVDataset
+from multimodal_content_moderation_tpu.data.images import ImagePreprocessor
+from multimodal_content_moderation_tpu.data.tokenizer import (
+    bytes_to_unicode,
+    load_tokenizer,
+)
+from multimodal_content_moderation_tpu.models import CLIPConfig, FusionModel
+from multimodal_content_moderation_tpu.models.clip import CLIPTextConfig, CLIPVisionConfig
+from multimodal_content_moderation_tpu.parallel.mesh import build_mesh, shard_batch
+from multimodal_content_moderation_tpu.training.checkpoints import (
+    list_checkpoints,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from multimodal_content_moderation_tpu.training.loop import TrainArgs, Trainer
+from multimodal_content_moderation_tpu.training.metrics import (
+    calibrate_thresholds,
+    compute_detailed_metrics,
+    make_compute_metrics_mtl,
+    make_compute_metrics_multi,
+)
+from multimodal_content_moderation_tpu.training.optim import build_optimizer
+from multimodal_content_moderation_tpu.training.sampling import (
+    build_multilabel_sample_weights,
+    weighted_sample_indices,
+)
+
+
+# ---------------------------------------------------------------------------
+# Metrics
+# ---------------------------------------------------------------------------
+
+
+def test_compute_metrics_multi_against_sklearn():
+    from sklearn.metrics import f1_score, roc_auc_score
+
+    g = np.random.default_rng(0)
+    logits = g.normal(size=(100, 5)).astype(np.float32)
+    labels = (g.random(size=(100, 5)) < 0.3).astype(np.float32)
+    m = make_compute_metrics_multi(5)((logits, labels))
+    probs = 1 / (1 + np.exp(-logits))
+    preds = (probs >= 0.5).astype(int)
+    assert m["f1_macro"] == pytest.approx(
+        f1_score(labels, preds, average="macro", zero_division=0)
+    )
+    assert m["roc_macro"] == pytest.approx(roc_auc_score(labels, probs, average="macro"))
+
+
+def test_compute_metrics_mtl_per_task_keys():
+    g = np.random.default_rng(1)
+    logits = g.normal(size=(50, 3)).astype(np.float32)
+    labels = (g.random(size=(50, 3)) < 0.4).astype(np.float32)
+    m = make_compute_metrics_mtl(["a", "b", "c"])((logits, labels))
+    for k in ["f1_macro", "f1_micro", "roc_macro", "f1_a", "roc_a", "f1_b", "f1_c"]:
+        assert k in m
+
+
+def test_calibrate_thresholds_finds_optimum():
+    # class 0: perfectly separable at 0.5; class 1: no positives -> 0.5 default
+    probs = np.array([[0.9, 0.1], [0.8, 0.2], [0.2, 0.3], [0.1, 0.4]])
+    y = np.array([[1, 0], [1, 0], [0, 0], [0, 0]], dtype=float)
+    ths = calibrate_thresholds(probs, y)
+    assert y[:, 1].sum() == 0 and ths[1] == 0.5
+    preds = (probs[:, 0] >= ths[0]).astype(int)
+    np.testing.assert_array_equal(preds, y[:, 0])
+
+
+def test_detailed_metrics_schema():
+    g = np.random.default_rng(2)
+    probs = g.random(size=(40, 2))
+    y = (g.random(size=(40, 2)) < 0.5).astype(float)
+    m = compute_detailed_metrics(probs, y, 0.5, ["x", "y"])
+    assert set(m["per_class"].keys()) == {"x", "y"}
+    for k in ["f1", "precision", "recall", "support", "roc_auc"]:
+        assert k in m["per_class"]["x"]
+
+
+# ---------------------------------------------------------------------------
+# Sampling
+# ---------------------------------------------------------------------------
+
+
+def test_sample_weights_match_torch_reference_formula():
+    torch = pytest.importorskip("torch")
+    g = np.random.default_rng(3)
+    labels = (g.random(size=(64, 5)) < 0.2).astype(np.float32)
+    got = build_multilabel_sample_weights(labels)
+
+    lt = torch.tensor(labels)
+    beta = 0.999
+    pos_counts = lt.sum(dim=0).clamp(min=1.0)
+    eff_num = 1.0 - torch.pow(torch.tensor(beta), pos_counts)
+    cls_w = (1.0 - beta) / eff_num
+    w = (lt * cls_w.unsqueeze(0)).sum(dim=1)
+    min_pos = float(w[w > 0].min()) if (w > 0).any() else 1.0
+    ref = torch.where(w > 0, w, torch.full_like(w, min_pos * 0.1)).double().numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+def test_weighted_sampling_prefers_rare_classes():
+    labels = np.zeros((1000, 2), np.float32)
+    labels[:900, 0] = 1.0  # common class
+    labels[900:, 1] = 1.0  # rare class
+    w = build_multilabel_sample_weights(labels)
+    idx = weighted_sample_indices(w, 20000, seed=0)
+    rare_frac = float(np.mean(idx >= 900))
+    assert rare_frac > 0.3  # rare 10% of data but >30% of samples
+
+
+# ---------------------------------------------------------------------------
+# Optimizer
+# ---------------------------------------------------------------------------
+
+
+def test_two_group_optimizer_lrs_differ():
+    params = {
+        "backbone": {"w": jnp.ones((4, 4))},
+        "head": {"w": jnp.ones((4, 4))},
+    }
+    tx = build_optimizer(
+        params, lr_encoder=1e-5, lr_head=1e-2, weight_decay=0.0,
+        total_steps=10, warmup_ratio=0.0, schedule="constant", max_grad_norm=0.0,
+    )
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    enc_step = float(jnp.abs(updates["backbone"]["w"]).mean())
+    head_step = float(jnp.abs(updates["head"]["w"]).mean())
+    assert head_step / enc_step > 100  # 1e-2 vs 1e-5 adam steps
+
+
+# ---------------------------------------------------------------------------
+# End-to-end tiny training on the 8-device mesh
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("train")
+    # tokenizer assets
+    b2u = bytes_to_unicode()
+    vocab = {}
+    for ch in b2u.values():
+        vocab[ch] = len(vocab)
+    for ch in b2u.values():
+        vocab[ch + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    with open(d / "vocab.json", "w") as f:
+        json.dump(vocab, f)
+    with open(d / "merges.txt", "w") as f:
+        f.write("#version: 0.2\n")
+    tok = load_tokenizer(str(d))
+
+    # synthetic CSV: label correlates with text token ("aa" vs "bb")
+    import pandas as pd
+
+    rows = []
+    g = np.random.default_rng(0)
+    for i in range(64):
+        pos = i % 2 == 0
+        rows.append(
+            {
+                "text": "aa aa aa" if pos else "bb bb bb",
+                "image_path": "",
+                "labels": "racist" if pos else "sexist",
+            }
+        )
+    pd.DataFrame(rows).to_csv(d / "train.csv", index=False)
+    pd.DataFrame(rows[:32]).to_csv(d / "val.csv", index=False)
+
+    cfg = CLIPConfig(
+        text=CLIPTextConfig(
+            vocab_size=len(vocab), hidden_size=32, num_layers=1, num_heads=2,
+            intermediate_size=64, max_positions=16,
+            eos_token_id=vocab["<|endoftext|>"],
+        ),
+        vision=CLIPVisionConfig(
+            hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
+            image_size=16, patch_size=8,
+        ),
+        projection_dim=32,
+    )
+    model = FusionModel.create("clip", num_labels=2, fusion_dim=16, clip_config=cfg)
+    names = ["racist", "sexist"]
+    pp = ImagePreprocessor(16, 16)
+    train_ds = CSVDataset(str(d / "train.csv"), "", tok, pp, 16, class_names=names)
+    val_ds = CSVDataset(str(d / "val.csv"), "", tok, pp, 16, class_names=names)
+    return d, model, train_ds, val_ds
+
+
+def test_mesh_has_8_devices():
+    mesh = build_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_trainer_end_to_end(tiny_setup, tmp_path):
+    d, model, train_ds, val_ds = tiny_setup
+    args = TrainArgs(
+        output_dir=str(tmp_path / "out"),
+        num_train_epochs=3,
+        per_device_train_batch_size=16,
+        per_device_eval_batch_size=16,
+        lr_encoder=1e-3,
+        lr_head=1e-2,
+        logging_steps=1,
+        early_stopping=False,
+        seed=0,
+    )
+    params = model.init(jax.random.key(0))
+    trainer = Trainer(
+        model, params, args, train_ds, val_ds,
+        make_compute_metrics_multi(2), mesh=build_mesh(),
+    )
+    first_eval = trainer.evaluate()
+    result = trainer.train()
+    final_eval = trainer.evaluate()
+    # learnable signal: text token decides label 0 -> roc should become ~1
+    assert final_eval["roc_macro"] >= first_eval["roc_macro"]
+    assert final_eval["roc_macro"] > 0.9
+    assert result["best_checkpoint"] is not None
+    assert os.path.isdir(result["best_checkpoint"])
+    # save_total_limit respected
+    assert len(list_checkpoints(args.output_dir)) <= args.save_total_limit + 1
+
+
+def test_trainer_weighted_sampler_runs(tiny_setup, tmp_path):
+    d, model, train_ds, val_ds = tiny_setup
+    args = TrainArgs(
+        output_dir=str(tmp_path / "out_w"),
+        num_train_epochs=1,
+        per_device_train_batch_size=16,
+        per_device_eval_batch_size=16,
+        sampler="weighted",
+        early_stopping=False,
+        seed=0,
+    )
+    params = model.init(jax.random.key(1))
+    trainer = Trainer(
+        model, params, args, train_ds, val_ds, make_compute_metrics_multi(2)
+    )
+    result = trainer.train()
+    assert result["global_step"] == 4  # 64/16
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {
+        "backbone": {"w": jnp.arange(12, dtype=jnp.float32).reshape(3, 4)},
+        "head": [{"b": jnp.ones((2,))}, {"b": jnp.zeros((2,))}],
+    }
+    p1 = save_checkpoint(str(tmp_path), params, 10, save_total_limit=2)
+    save_checkpoint(str(tmp_path), params, 20, save_total_limit=2)
+    save_checkpoint(str(tmp_path), params, 30, save_total_limit=2, keep=p1)
+    ckpts = list_checkpoints(str(tmp_path))
+    # step-10 kept (best), oldest prunable (20) dropped
+    assert [os.path.basename(c) for c in ckpts] == ["checkpoint-10", "checkpoint-30"]
+    zeroed = jax.tree_util.tree_map(jnp.zeros_like, params)
+    restored = restore_checkpoint(p1, zeroed)
+    np.testing.assert_array_equal(
+        np.asarray(restored["backbone"]["w"]), np.asarray(params["backbone"]["w"])
+    )
+
+
+def test_shard_batch_places_on_mesh(tiny_setup):
+    _, model, train_ds, _ = tiny_setup
+    mesh = build_mesh()
+    batch = next(train_ds.batches(16))
+    dev = shard_batch(batch, mesh)
+    sh = dev["pixel_values"].sharding
+    assert sh.is_fully_replicated is False
+    assert dev["pixel_values"].shape == batch["pixel_values"].shape
