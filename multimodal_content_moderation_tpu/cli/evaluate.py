@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Evaluation CLI — mirrors the reference ``scripts/evaluate.py`` surface:
+loads a checkpoint (+ its inference_config.json), streams the test CSV
+through the jitted batched forward, and writes ``eval_results.json`` with the
+detailed metric schema (mean-threshold overall metrics + per-class calibrated
+F1 — reference scripts/evaluate.py:227-239)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from multimodal_content_moderation_tpu.cli.common import image_stats_from_dir
+from multimodal_content_moderation_tpu.data.dataset import CSVDataset
+from multimodal_content_moderation_tpu.data.images import ImagePreprocessor
+from multimodal_content_moderation_tpu.data.tokenizer import load_tokenizer
+from multimodal_content_moderation_tpu.utils.config import save_json
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Evaluate a multi-modal classifier",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--encoder_dir", type=str, default=None)
+    parser.add_argument("--test_csv", type=str, required=True)
+    parser.add_argument("--image_root", type=str, default="")
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--output", type=str, default=None)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+
+    from multimodal_content_moderation_tpu.models import model_io
+    from multimodal_content_moderation_tpu.parallel.mesh import build_mesh, replicate
+    from multimodal_content_moderation_tpu.training.loop import (
+        evaluate_logits,
+        make_eval_step,
+    )
+    from multimodal_content_moderation_tpu.training.metrics import (
+        compute_detailed_metrics,
+    )
+    from sklearn.metrics import f1_score
+
+    print(f"Loading model from: {args.checkpoint}")
+    model, params, config = model_io.load_checkpoint(args.checkpoint, args.encoder_dir)
+    class_names = config.get("class_names", ["harmful"])
+    thresholds = config.get("thresholds", [0.5] * len(class_names))
+    print(f"Classes: {class_names}")
+    print(f"Thresholds: {thresholds}")
+
+    enc_dir = args.encoder_dir or config.get("encoder_dir") or args.checkpoint
+    tokenizer = load_tokenizer(enc_dir)
+    (H, W), mean, std = image_stats_from_dir(enc_dir, config.get("backend", "clip"))
+    test_ds = CSVDataset(
+        args.test_csv,
+        args.image_root,
+        tokenizer,
+        ImagePreprocessor(H, W, mean, std),
+        int(config.get("max_text_length", 77)),
+        class_names=class_names if len(class_names) > 1 else None,
+    )
+    print(f"Test samples: {len(test_ds)}")
+
+    mesh = build_mesh()
+    params = replicate(params, mesh)
+    import time
+
+    t0 = time.time()
+    logits, labels = evaluate_logits(
+        make_eval_step(model), params, test_ds, args.batch_size, mesh
+    )
+    dt = time.time() - t0
+    probs = 1 / (1 + np.exp(-logits))
+
+    mean_threshold = float(np.mean(thresholds))
+    metrics = compute_detailed_metrics(probs, labels, mean_threshold, class_names)
+    for i, (name, thresh) in enumerate(zip(class_names, thresholds)):
+        bin_pred = (probs[:, i] >= thresh).astype(int)
+        metrics["per_class"][name]["f1_calibrated"] = float(
+            f1_score(labels[:, i], bin_pred, zero_division=0)
+        )
+        metrics["per_class"][name]["threshold"] = thresh
+    metrics["runtime"] = dt
+    metrics["samples_per_second"] = len(test_ds) / dt if dt > 0 else 0.0
+
+    print("=" * 60)
+    print("EVALUATION RESULTS")
+    print("=" * 60)
+    print(f"F1 Macro: {metrics['f1_macro']:.4f}")
+    print(f"F1 Micro: {metrics['f1_micro']:.4f}")
+    print(f"ROC-AUC Macro: {metrics['roc_auc_macro']:.4f}")
+    print(f"Throughput: {metrics['samples_per_second']:.1f} samples/s")
+    for name, cm in metrics["per_class"].items():
+        print(
+            f"  {name}: f1={cm['f1']:.4f} cal={cm.get('f1_calibrated', 0):.4f} "
+            f"roc={cm['roc_auc']:.4f} support={cm['support']}"
+        )
+
+    output_path = args.output or os.path.join(args.checkpoint, "eval_results.json")
+    save_json(metrics, output_path)
+    print(f"Results saved to: {output_path}")
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""Inference CLI + high-level classifier API.
+
+Same CLI surface and JSON result schema as the reference
+``scripts/inference.py`` (single ``--text``/``--image`` prediction or
+``--input_csv`` batch mode appending ``pred_*``/``prob_*`` columns), but the
+implementation batches properly: the reference's ``predict_batch`` loops
+B=1 forwards (scripts/inference.py:239-270, an acknowledged inefficiency);
+here every path funnels into one jitted fixed-shape batched forward, with the
+last partial batch padded rather than recompiled.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from multimodal_content_moderation_tpu.cli.common import image_stats_from_dir
+from multimodal_content_moderation_tpu.data.images import ImagePreprocessor
+from multimodal_content_moderation_tpu.data.tokenizer import load_tokenizer
+
+
+class MultiModalClassifier:
+    """Checkpoint-backed classifier with single + batched prediction.
+
+    API mirror of the reference ``MultiModalClassifier``
+    (scripts/inference.py:39-270): ``predict`` returns per-class
+    ``{label, probability, threshold}`` plus ``any_harmful``.
+    """
+
+    def __init__(
+        self,
+        checkpoint_dir: str,
+        encoder_dir: Optional[str] = None,
+        batch_size: int = 32,
+        dtype=None,
+    ):
+        import jax
+
+        from multimodal_content_moderation_tpu.models import model_io
+
+        self.model, self.params, self.config = model_io.load_checkpoint(
+            checkpoint_dir, encoder_dir, dtype=dtype
+        )
+        self.class_names: List[str] = self.config.get("class_names", ["harmful"])
+        self.thresholds: List[float] = self.config.get(
+            "thresholds", [0.5] * len(self.class_names)
+        )
+        self.max_len = int(self.config.get("max_text_length", 77))
+        self.batch_size = batch_size
+
+        enc_dir = (
+            encoder_dir or self.config.get("encoder_dir") or checkpoint_dir
+        )
+        self.tokenizer = load_tokenizer(enc_dir)
+        backend = self.config.get("backend", "clip")
+        (H, W), mean, std = image_stats_from_dir(enc_dir, backend)
+        self.preproc = ImagePreprocessor(H, W, mean, std)
+
+        model = self.model
+        self._forward = jax.jit(lambda p, b: model.apply(p, b)["logits"])
+
+    # -- core batched path ----------------------------------------------------
+
+    def _logits(
+        self, texts: List[str], image_paths: List[str], image_root: str = ""
+    ) -> np.ndarray:
+        n = len(texts)
+        bs = self.batch_size
+        out = np.empty((n, len(self.class_names)), np.float32)
+        for s in range(0, n, bs):
+            ts = texts[s : s + bs]
+            ps = image_paths[s : s + bs]
+            valid = len(ts)
+            ids, mask = self.tokenizer.encode_batch(ts, self.max_len)
+            pix, ipres = [], []
+            for p in ps:
+                arr, pres = self.preproc.load_relative(p, image_root)
+                pix.append(arr)
+                ipres.append(pres)
+            batch = {
+                "input_ids": ids,
+                "attention_mask": mask,
+                "pixel_values": np.stack(pix),
+                "text_present": np.asarray(
+                    [1.0 if (t or "").strip() else 0.0 for t in ts], np.float32
+                ),
+                "image_present": np.asarray(ipres, np.float32),
+            }
+            if valid < bs:  # pad to the fixed batch shape (no recompiles)
+                pad = bs - valid
+                batch = {
+                    k: np.concatenate(
+                        [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
+                    )
+                    for k, v in batch.items()
+                }
+            logits = np.asarray(self._forward(self.params, batch))
+            out[s : s + valid] = logits[:valid]
+        return out
+
+    # -- public API -------------------------------------------------------
+
+    def predict(
+        self,
+        text: Optional[str] = None,
+        image_path: Optional[str] = None,
+        return_probs: bool = False,
+    ) -> Dict[str, Any]:
+        logits = self._logits([text or ""], [image_path or ""])[0]
+        probs = 1.0 / (1.0 + np.exp(-logits))
+        predictions = {
+            name: {
+                "label": bool(prob >= thresh),
+                "probability": float(prob),
+                "threshold": float(thresh),
+            }
+            for name, prob, thresh in zip(self.class_names, probs, self.thresholds)
+        }
+        result = {
+            "predictions": predictions,
+            "any_harmful": any(p["label"] for p in predictions.values()),
+        }
+        if return_probs:
+            result["probabilities"] = probs.tolist()
+        return result
+
+    def predict_batch(
+        self,
+        texts: List[str],
+        image_paths: List[str],
+        batch_size: Optional[int] = None,
+        image_root: str = "",
+    ) -> List[Dict[str, Any]]:
+        if batch_size:
+            self.batch_size = batch_size
+        logits = self._logits(list(texts), list(image_paths), image_root)
+        probs = 1.0 / (1.0 + np.exp(-logits))
+        results = []
+        for row in probs:
+            predictions = {
+                name: {
+                    "label": bool(p >= t),
+                    "probability": float(p),
+                    "threshold": float(t),
+                }
+                for name, p, t in zip(self.class_names, row, self.thresholds)
+            }
+            results.append(
+                {
+                    "predictions": predictions,
+                    "any_harmful": any(v["label"] for v in predictions.values()),
+                }
+            )
+        return results
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Run inference with a multi-modal classifier",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--encoder_dir", type=str, default=None)
+    parser.add_argument("--text", type=str, default=None)
+    parser.add_argument("--image", type=str, default=None)
+    parser.add_argument("--input_csv", type=str, default=None)
+    parser.add_argument("--output_csv", type=str, default=None)
+    parser.add_argument("--image_root", type=str, default="")
+    parser.add_argument("--batch_size", type=int, default=32)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    print(f"Loading model from: {args.checkpoint}")
+    classifier = MultiModalClassifier(
+        args.checkpoint, args.encoder_dir, batch_size=args.batch_size
+    )
+    print(f"Classes: {classifier.class_names}")
+
+    if args.input_csv:
+        import pandas as pd
+
+        df = pd.read_csv(args.input_csv)
+        texts = df["text"].fillna("").tolist()
+        image_paths = df["image_path"].fillna("").tolist()
+        results = classifier.predict_batch(
+            texts, image_paths, args.batch_size, image_root=args.image_root
+        )
+        for class_name in classifier.class_names:
+            df[f"pred_{class_name}"] = [
+                r["predictions"][class_name]["label"] for r in results
+            ]
+            df[f"prob_{class_name}"] = [
+                r["predictions"][class_name]["probability"] for r in results
+            ]
+        df["any_harmful"] = [r["any_harmful"] for r in results]
+        output_path = args.output_csv or "predictions.csv"
+        df.to_csv(output_path, index=False)
+        print(f"Predictions saved to: {output_path}")
+    elif args.text or args.image:
+        result = classifier.predict(args.text, args.image, return_probs=True)
+        print("=" * 40)
+        print("PREDICTION RESULT")
+        print("=" * 40)
+        for name, pred in result["predictions"].items():
+            status = "DETECTED" if pred["label"] else "not detected"
+            print(
+                f"  {name}: {status} (prob: {pred['probability']:.3f}, "
+                f"threshold: {pred['threshold']:.2f})"
+            )
+        print(f"Any harmful content: {'YES' if result['any_harmful'] else 'NO'}")
+    else:
+        print("Error: specify --text/--image or --input_csv")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
