@@ -1,0 +1,173 @@
+"""JSON serving handler with the SageMaker-style contract.
+
+Mirrors the reference ``sagemaker/inference.py`` request path
+(model_fn -> input_fn -> predict_fn -> output_fn, :55-348) and JSONL batch
+transform (:355-388), with the same payload schema:
+
+  request:  {"text": ..., "image": <base64>|"image_url": ...}
+            or {"instances": [...]}
+  response: {"predictions": [{"class_predictions": {...},
+             "probabilities": {...}, "any_harmful": bool}]}
+
+Implementation differences (TPU-first): instances are batched through one
+jitted fixed-shape forward instead of B=1 loops, and image decode failures
+degrade to zero pixels + presence 0 exactly like the reference (:315-331).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import logging
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+logger = logging.getLogger(__name__)
+
+
+def model_fn(model_dir: str, encoder_dir: Optional[str] = None):
+    """Load the classifier bundle once at endpoint start
+    (reference sagemaker/inference.py:55-153)."""
+    from multimodal_content_moderation_tpu.cli.inference import MultiModalClassifier
+
+    return MultiModalClassifier(model_dir, encoder_dir)
+
+
+def input_fn(request_body: str, content_type: str = "application/json") -> List[Dict]:
+    """Parse a JSON request; single objects are wrapped into ``instances``
+    (reference sagemaker/inference.py:169-201)."""
+    if content_type != "application/json":
+        raise ValueError(f"Unsupported content type: {content_type}")
+    data = json.loads(request_body)
+    if isinstance(data, dict) and "instances" in data:
+        return list(data["instances"])
+    if isinstance(data, list):
+        return data
+    return [data]
+
+
+def _decode_image(instance: Dict[str, Any]) -> Optional[Image.Image]:
+    """base64 ``image`` or ``image_url`` -> PIL image; failures -> None
+    (degraded modality, reference sagemaker/inference.py:301-331)."""
+    try:
+        if instance.get("image"):
+            raw = base64.b64decode(instance["image"])
+            return Image.open(io.BytesIO(raw)).convert("RGB")
+        if instance.get("image_url"):
+            import urllib.request
+
+            with urllib.request.urlopen(instance["image_url"], timeout=10) as r:
+                return Image.open(io.BytesIO(r.read())).convert("RGB")
+    except Exception as e:
+        logger.warning("image decode failed: %s", e)
+    return None
+
+
+def predict_fn(instances: List[Dict[str, Any]], classifier) -> List[Dict[str, Any]]:
+    """Batched prediction over parsed instances."""
+    texts: List[str] = []
+    pixel_arrays: List[np.ndarray] = []
+    presences: List[float] = []
+    for inst in instances:
+        texts.append(inst.get("text") or "")
+        im = _decode_image(inst)
+        if im is None:
+            pixel_arrays.append(classifier.preproc.zero_output())
+            presences.append(0.0)
+        else:
+            pixel_arrays.append(classifier.preproc.process_pil(im))
+            presences.append(1.0)
+
+    n = len(instances)
+    bs = classifier.batch_size
+    results = []
+    for s in range(0, n, bs):
+        ts = texts[s : s + bs]
+        valid = len(ts)
+        ids, mask = classifier.tokenizer.encode_batch(ts, classifier.max_len)
+        batch = {
+            "input_ids": ids,
+            "attention_mask": mask,
+            "pixel_values": np.stack(pixel_arrays[s : s + valid]),
+            "text_present": np.asarray(
+                [1.0 if t.strip() else 0.0 for t in ts], np.float32
+            ),
+            "image_present": np.asarray(presences[s : s + valid], np.float32),
+        }
+        if valid < bs:
+            pad = bs - valid
+            batch = {
+                k: np.concatenate([v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                for k, v in batch.items()
+            }
+        logits = np.asarray(classifier._forward(classifier.params, batch))[:valid]
+        probs = 1.0 / (1.0 + np.exp(-logits))
+        for row in probs:
+            class_predictions = {
+                name: bool(p >= t)
+                for name, p, t in zip(
+                    classifier.class_names, row, classifier.thresholds
+                )
+            }
+            results.append(
+                {
+                    "class_predictions": class_predictions,
+                    "probabilities": {
+                        name: float(p)
+                        for name, p in zip(classifier.class_names, row)
+                    },
+                    "any_harmful": any(class_predictions.values()),
+                }
+            )
+    return results
+
+
+def output_fn(predictions: List[Dict], accept: str = "application/json") -> str:
+    """Serialize the response (reference sagemaker/inference.py:334-348)."""
+    if accept != "application/json":
+        raise ValueError(f"Unsupported accept type: {accept}")
+    return json.dumps({"predictions": predictions})
+
+
+class BatchTransformHandler:
+    """JSONL batch transform: one JSON instance per line; per-line errors are
+    captured, not fatal (reference sagemaker/inference.py:355-388)."""
+
+    def __init__(self, classifier):
+        self.classifier = classifier
+
+    def process_lines(self, lines: List[str]) -> List[str]:
+        out = []
+        parsed: List[Optional[Dict]] = []
+        for line in lines:
+            line = line.strip()
+            if not line:
+                parsed.append(None)
+                continue
+            try:
+                parsed.append(json.loads(line))
+            except Exception as e:
+                parsed.append({"__error__": str(e)})
+
+        ok = [p for p in parsed if p is not None and "__error__" not in p]
+        preds = predict_fn(ok, self.classifier) if ok else []
+        it = iter(preds)
+        for p in parsed:
+            if p is None:
+                continue
+            if "__error__" in p:
+                out.append(json.dumps({"error": p["__error__"]}))
+            else:
+                out.append(json.dumps(next(it)))
+        return out
+
+    def process_file(self, input_path: str, output_path: str) -> None:
+        with open(input_path, "r", encoding="utf-8") as f:
+            lines = f.readlines()
+        results = self.process_lines(lines)
+        with open(output_path, "w", encoding="utf-8") as f:
+            for r in results:
+                f.write(r + "\n")

@@ -1,0 +1,169 @@
+"""Serving-layer tests: JSON handler contract, JSONL batch transform,
+containerized entrypoint plumbing, and packaging utilities."""
+
+import base64
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from multimodal_content_moderation_tpu.serving.deploy import (
+    create_model_package,
+    extract_model_package,
+    prepare_training_data,
+)
+from multimodal_content_moderation_tpu.serving.entrypoint import (
+    find_data_file,
+    find_image_root,
+)
+from multimodal_content_moderation_tpu.serving.handler import (
+    BatchTransformHandler,
+    input_fn,
+    model_fn,
+    output_fn,
+    predict_fn,
+)
+
+
+def _b64_image(seed=0, size=(40, 40)):
+    g = np.random.default_rng(seed)
+    arr = g.integers(0, 256, size=(*size, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+class TestInputFn:
+    def test_single_object_wrapped(self):
+        out = input_fn(json.dumps({"text": "hi"}))
+        assert out == [{"text": "hi"}]
+
+    def test_instances_list(self):
+        body = json.dumps({"instances": [{"text": "a"}, {"text": "b"}]})
+        assert len(input_fn(body)) == 2
+
+    def test_bare_list(self):
+        assert len(input_fn(json.dumps([{"text": "a"}]))) == 1
+
+    def test_bad_content_type(self):
+        with pytest.raises(ValueError):
+            input_fn("{}", "text/csv")
+
+
+@pytest.fixture(scope="module")
+def classifier(trained_run):
+    _, result = trained_run
+    return model_fn(result["result"]["best_checkpoint"])
+
+
+class TestPredictFn:
+    def test_text_and_image(self, classifier):
+        instances = [
+            {"text": "hate hate hate", "image": _b64_image(0)},
+            {"text": "love love love"},
+        ]
+        preds = predict_fn(instances, classifier)
+        assert len(preds) == 2
+        for p in preds:
+            assert set(p.keys()) == {
+                "class_predictions",
+                "probabilities",
+                "any_harmful",
+            }
+            assert set(p["probabilities"].keys()) == set(classifier.class_names)
+
+    def test_corrupt_base64_degrades(self, classifier):
+        preds = predict_fn([{"text": "x", "image": "!!!not-base64!!!"}], classifier)
+        assert len(preds) == 1  # degraded to text-only, not an error
+
+    def test_more_instances_than_batch(self, classifier):
+        instances = [{"text": f"t{i}"} for i in range(classifier.batch_size + 3)]
+        preds = predict_fn(instances, classifier)
+        assert len(preds) == len(instances)
+
+    def test_output_fn_roundtrip(self, classifier):
+        preds = predict_fn([{"text": "hello"}], classifier)
+        body = output_fn(preds)
+        parsed = json.loads(body)
+        assert "predictions" in parsed and len(parsed["predictions"]) == 1
+
+
+class TestBatchTransform:
+    def test_jsonl_roundtrip(self, classifier, tmp_path):
+        lines = [
+            json.dumps({"text": "hate hate hate"}),
+            "",  # blank line skipped
+            "{bad json",
+            json.dumps({"text": "love", "image": _b64_image(1)}),
+        ]
+        inp = tmp_path / "in.jsonl"
+        outp = tmp_path / "out.jsonl"
+        inp.write_text("\n".join(lines))
+        BatchTransformHandler(classifier).process_file(str(inp), str(outp))
+        out_lines = outp.read_text().strip().split("\n")
+        assert len(out_lines) == 3  # blank dropped
+        assert "error" in json.loads(out_lines[1])
+        assert "any_harmful" in json.loads(out_lines[0])
+
+
+class TestEntrypointPlumbing:
+    def test_find_data_file_priority(self, tmp_path):
+        (tmp_path / "other.csv").write_text("text\n")
+        (tmp_path / "data.csv").write_text("text\n")
+        assert find_data_file(str(tmp_path)).endswith("data.csv")
+        os.remove(tmp_path / "data.csv")
+        assert find_data_file(str(tmp_path)).endswith("other.csv")
+        assert find_data_file(str(tmp_path / "missing")) is None
+
+    def test_find_image_root(self, tmp_path):
+        imgs = tmp_path / "images"
+        imgs.mkdir()
+        Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(imgs / "a.jpg")
+        assert find_image_root(str(tmp_path)) == str(imgs)
+
+    def test_entrypoint_trains(self, encoder_dir, data_dir, tmp_path):
+        """Full containerized entrypoint: channels + flat flags -> artifacts."""
+        from multimodal_content_moderation_tpu.serving.entrypoint import train
+
+        ch = prepare_training_data(
+            f"{data_dir}/train.csv",
+            f"{data_dir}/val.csv",
+            str(tmp_path / "channels"),
+            image_dir=f"{data_dir}/images",
+        )
+        model_dir = str(tmp_path / "model")
+        out_dir = str(tmp_path / "out")
+        train(
+            [
+                "--train-dir", ch["train"],
+                "--validation-dir", ch["validation"],
+                "--images-dir", ch["images"],
+                "--encoder-assets-dir", encoder_dir,
+                "--model-dir", model_dir,
+                "--output-data-dir", out_dir,
+                "--epochs", "1",
+                "--batch-size", "8",
+                "--eval-batch-size", "8",
+                "--max-text-length", "16",
+                "--fusion-dim", "16",
+            ]
+        )
+        assert os.path.exists(os.path.join(model_dir, "inference_config.json"))
+        assert os.path.exists(os.path.join(out_dir, "hyperparameters.json"))
+        assert os.path.exists(os.path.join(out_dir, "final_metrics.json"))
+
+
+class TestPackaging:
+    def test_package_roundtrip(self, tmp_path):
+        src = tmp_path / "model"
+        (src / "sub").mkdir(parents=True)
+        (src / "inference_config.json").write_text("{}")
+        (src / "sub" / "w.bin").write_bytes(b"\x00" * 16)
+        archive = create_model_package(str(src), str(tmp_path / "model.tar.gz"))
+        dest = tmp_path / "extracted"
+        extract_model_package(archive, str(dest))
+        assert (dest / "inference_config.json").exists()
+        assert (dest / "sub" / "w.bin").exists()
