@@ -1,0 +1,203 @@
+"""Pallas TPU kernels: fused attention.
+
+Two kernels, selected by sequence length:
+
+- ``attention_small``: the encoder workloads here are short (CLIP text 77
+  tokens, ViT-B/32 50, SigLIP 196/64). One (batch*heads) grid step holds the
+  whole [T, dh] tile in VMEM and fuses QK^T -> bias -> softmax -> V, so the
+  [B, H, T, T] score tensor never touches HBM (XLA materializes it;
+  ~380 MB/layer round-trip at B=500, T=77).
+- ``flash_attention``: blockwise online-softmax (flash-style) for long
+  sequences — the headroom path for higher-resolution ViTs / longer text
+  (SURVEY.md §5 long-context note). Grid (BH, Tq/blk); K/V stream in blocks
+  with running max/denominator rescaling.
+
+Both support an additive fp32 mask (causal and/or padding, same convention
+as ops/layers.mha) and fp32 softmax statistics. Parity vs the jnp reference
+is tested in interpret mode; ``fused_mha`` dispatches by shape and is a
+drop-in replacement for ``ops.layers.mha``'s inner attention.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -3.4028235e38
+
+
+def _small_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32)  # [T, dh]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [T, T]
+    s = s + m_ref[0]
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def attention_small(
+    q: jnp.ndarray,  # [BH, T, dh]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray,  # [BH, T, T] additive fp32
+    interpret: bool = False,
+) -> jnp.ndarray:
+    BH, T, dh = q.shape
+    scale = float(dh) ** -0.5
+    return pl.pallas_call(
+        functools.partial(_small_kernel, scale=scale),
+        grid=(BH,),
+        in_specs=[
+            pl.BlockSpec((1, T, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, T, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((BH, T, dh), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * T * T * dh,
+            bytes_accessed=BH * T * dh * 3 * q.dtype.itemsize + BH * T * T * 4,
+            transcendentals=BH * T * T,
+        ),
+        interpret=interpret,
+    )(q, k, v, mask)
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, m_ref, o_ref, acc_ref, row_max_ref, row_sum_ref,
+    *, scale: float, kv_blocks: int
+):
+    """Online-softmax over K/V blocks. Grid: (BH, num_q_blocks, kv_blocks);
+    the kv axis is the innermost (fastest) grid dim."""
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        row_max_ref[...] = jnp.full_like(row_max_ref, NEG_INF)
+        row_sum_ref[...] = jnp.zeros_like(row_sum_ref)
+
+    q = q_ref[0].astype(jnp.float32)  # [bq, dh]
+    k = k_ref[0].astype(jnp.float32)  # [bk, dh]
+    v = v_ref[0].astype(jnp.float32)  # [bk, dh]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+    s = s + m_ref[0]
+
+    prev_max = row_max_ref[...]  # [bq, 1]
+    cur_max = jnp.max(s, axis=-1, keepdims=True)
+    new_max = jnp.maximum(prev_max, cur_max)
+    correction = jnp.exp(prev_max - new_max)
+    p = jnp.exp(s - new_max)  # [bq, bk]
+
+    row_sum_ref[...] = row_sum_ref[...] * correction + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * correction + jnp.dot(
+        p, v, preferred_element_type=jnp.float32
+    )
+    row_max_ref[...] = new_max
+
+    @pl.when(kv_idx == kv_blocks - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[...] / row_sum_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jnp.ndarray,  # [BH, T, dh]
+    k: jnp.ndarray,  # [BH, S, dh]
+    v: jnp.ndarray,
+    mask: jnp.ndarray,  # [BH, T, S] additive fp32
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    BH, T, dh = q.shape
+    S = k.shape[1]
+    assert T % block_q == 0 and S % block_k == 0, "pad seq to block multiples"
+    scale = float(dh) ** -0.5
+    kv_blocks = S // block_k
+
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, kv_blocks=kv_blocks),
+        grid=(BH, T // block_q, kv_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, dh), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_k, dh), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_k, dh), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_q, block_k),
+                lambda b, i, j: (b, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, dh), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((BH, T, dh), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, dh), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, mask)
+
+
+def fused_mha(
+    q: jnp.ndarray,  # [B, H, T, dh]
+    k: jnp.ndarray,  # [B, H, S, dh]
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],  # broadcastable to [B, H, T, S], additive
+    small_threshold: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Shape-dispatching fused attention over [B, H, ...] inputs."""
+    B, H, T, dh = q.shape
+    S = k.shape[2]
+    if mask is None:
+        m = jnp.zeros((B * H, T, S), jnp.float32)
+    else:
+        m = jnp.broadcast_to(mask.astype(jnp.float32), (B, H, T, S)).reshape(
+            B * H, T, S
+        )
+    qf = q.reshape(B * H, T, dh)
+    kf = k.reshape(B * H, S, dh)
+    vf = v.reshape(B * H, S, dh)
+    if max(T, S) <= small_threshold:
+        out = attention_small(qf, kf, vf, m, interpret=interpret)
+    else:
+        pad_q = (-T) % 128
+        pad_k = (-S) % 128
+        if pad_q or pad_k:
+            qf = jnp.pad(qf, ((0, 0), (0, pad_q), (0, 0)))
+            kf = jnp.pad(kf, ((0, 0), (0, pad_k), (0, 0)))
+            vf = jnp.pad(vf, ((0, 0), (0, pad_k), (0, 0)))
+            m = jnp.pad(m, ((0, 0), (0, pad_q), (0, pad_k)), constant_values=NEG_INF)
+            # padded query rows: all-masked is fine, they are sliced off
+            out = flash_attention(qf, kf, vf, m, interpret=interpret)[:, :T]
+        else:
+            out = flash_attention(qf, kf, vf, m, interpret=interpret)
+    return out.reshape(B, H, T, dh)

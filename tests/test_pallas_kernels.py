@@ -1,0 +1,173 @@
+"""Pallas kernel parity tests (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_content_moderation_tpu.ops.pallas_attention import (
+    NEG_INF,
+    attention_small,
+    flash_attention,
+    fused_mha,
+)
+from multimodal_content_moderation_tpu.ops.pallas_image import (
+    extract_patches_u8,
+    fold_norm_into_embed,
+    patch_embed_reference,
+    patch_embed_u8,
+)
+
+
+def _sdpa_reference(q, k, v, mask):
+    """Plain fp32 softmax attention."""
+    dh = q.shape[-1]
+    s = np.einsum("btd,bsd->bts", q, k).astype(np.float32) / np.sqrt(dh)
+    s = s + mask
+    s = s - s.max(axis=-1, keepdims=True)
+    p = np.exp(s)
+    p = p / p.sum(axis=-1, keepdims=True)
+    return np.einsum("bts,bsd->btd", p, v.astype(np.float32))
+
+
+class TestAttentionSmall:
+    def test_matches_reference(self):
+        g = np.random.default_rng(0)
+        BH, T, dh = 4, 64, 32
+        q = g.normal(size=(BH, T, dh)).astype(np.float32)
+        k = g.normal(size=(BH, T, dh)).astype(np.float32)
+        v = g.normal(size=(BH, T, dh)).astype(np.float32)
+        mask = np.zeros((BH, T, T), np.float32)
+        mask[:, :, 50:] = NEG_INF  # padding mask
+        got = np.asarray(attention_small(q, k, v, mask, interpret=True))
+        ref = _sdpa_reference(q, k, v, mask)
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+    def test_causal_mask(self):
+        g = np.random.default_rng(1)
+        BH, T, dh = 2, 16, 8
+        q = g.normal(size=(BH, T, dh)).astype(np.float32)
+        k = g.normal(size=(BH, T, dh)).astype(np.float32)
+        v = g.normal(size=(BH, T, dh)).astype(np.float32)
+        causal = np.triu(np.full((T, T), NEG_INF, np.float32), k=1)
+        mask = np.broadcast_to(causal, (BH, T, T)).copy()
+        got = np.asarray(attention_small(q, k, v, mask, interpret=True))
+        ref = _sdpa_reference(q, k, v, mask)
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+class TestFlashAttention:
+    def test_matches_reference_multiblock(self):
+        g = np.random.default_rng(2)
+        BH, T, dh = 2, 256, 64
+        q = g.normal(size=(BH, T, dh)).astype(np.float32)
+        k = g.normal(size=(BH, T, dh)).astype(np.float32)
+        v = g.normal(size=(BH, T, dh)).astype(np.float32)
+        mask = np.zeros((BH, T, T), np.float32)
+        got = np.asarray(
+            flash_attention(q, k, v, mask, block_q=128, block_k=128, interpret=True)
+        )
+        ref = _sdpa_reference(q, k, v, mask)
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+    def test_with_padding_mask(self):
+        g = np.random.default_rng(3)
+        BH, T, dh = 2, 256, 32
+        q = g.normal(size=(BH, T, dh)).astype(np.float32)
+        k = g.normal(size=(BH, T, dh)).astype(np.float32)
+        v = g.normal(size=(BH, T, dh)).astype(np.float32)
+        mask = np.zeros((BH, T, T), np.float32)
+        mask[:, :, 200:] = NEG_INF
+        got = np.asarray(flash_attention(q, k, v, mask, interpret=True))
+        ref = _sdpa_reference(q, k, v, mask)
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+class TestFusedMHADispatch:
+    def test_small_path(self):
+        g = np.random.default_rng(4)
+        B, H, T, dh = 2, 2, 77, 32
+        q = g.normal(size=(B, H, T, dh)).astype(np.float32)
+        k = g.normal(size=(B, H, T, dh)).astype(np.float32)
+        v = g.normal(size=(B, H, T, dh)).astype(np.float32)
+        got = np.asarray(fused_mha(q, k, v, None, interpret=True))
+        ref = _sdpa_reference(
+            q.reshape(B * H, T, dh), k.reshape(B * H, T, dh), v.reshape(B * H, T, dh),
+            np.zeros((B * H, T, T), np.float32),
+        ).reshape(B, H, T, dh)
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+    def test_long_path_with_ragged_seq(self):
+        """Seq 300 (not a block multiple) exercises the pad+slice path."""
+        g = np.random.default_rng(5)
+        B, H, T, dh = 1, 2, 300, 32
+        q = g.normal(size=(B, H, T, dh)).astype(np.float32)
+        k = g.normal(size=(B, H, T, dh)).astype(np.float32)
+        v = g.normal(size=(B, H, T, dh)).astype(np.float32)
+        got = np.asarray(fused_mha(q, k, v, None, interpret=True))
+        ref = _sdpa_reference(
+            q.reshape(B * H, T, dh), k.reshape(B * H, T, dh), v.reshape(B * H, T, dh),
+            np.zeros((B * H, T, T), np.float32),
+        ).reshape(B, H, T, dh)
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+class TestPatchEmbed:
+    def test_fold_and_kernel_match_unfused(self):
+        """uint8 -> fused folded-GEMM == normalize -> patchify -> dense."""
+        g = np.random.default_rng(6)
+        B, H, W, C, p, D = 2, 32, 32, 3, 16, 64
+        imgs = g.integers(0, 256, size=(B, H, W, C), dtype=np.uint8)
+        w = g.normal(size=(C * p * p, D)).astype(np.float32) * 0.05
+        b = g.normal(size=(D,)).astype(np.float32)
+        mean = (0.48, 0.46, 0.41)
+        std = (0.27, 0.26, 0.28)
+
+        patches = extract_patches_u8(imgs, p)
+        wf, bf = fold_norm_into_embed(jnp.asarray(w), jnp.asarray(b), mean, std, p, C)
+
+        got = np.asarray(
+            patch_embed_u8(
+                jnp.asarray(patches), wf, bf, out_dtype=jnp.float32, interpret=True
+            )
+        )
+
+        # unfused reference via the model's own patchify path
+        from multimodal_content_moderation_tpu.ops.layers import dense, patchify
+
+        x = imgs.astype(np.float32) / 255.0
+        x = (x - np.asarray(mean)) / np.asarray(std)
+        nchw = x.transpose(0, 3, 1, 2)
+        ref = np.asarray(
+            dense(patchify(jnp.asarray(nchw, jnp.float32), p), {"w": w, "b": b})
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
+
+    def test_reference_fallback_matches_kernel(self):
+        g = np.random.default_rng(7)
+        B, N, K, D = 2, 4, 48, 32
+        patches = g.integers(0, 256, size=(B, N, K), dtype=np.uint8)
+        wf = g.normal(size=(K, D)).astype(np.float32)
+        bf = g.normal(size=(D,)).astype(np.float32)
+        a = np.asarray(
+            patch_embed_u8(patches, wf, bf, out_dtype=jnp.float32, interpret=True)
+        )
+        r = np.asarray(
+            patch_embed_reference(patches, wf, bf, out_dtype=jnp.float32)
+        )
+        np.testing.assert_allclose(a, r, rtol=1e-3, atol=1e-3)
+
+    def test_non_multiple_rows_padding(self):
+        g = np.random.default_rng(8)
+        B, N, K, D = 3, 7, 48, 32  # 21 rows, block 16 -> padded to 32
+        patches = g.integers(0, 256, size=(B, N, K), dtype=np.uint8)
+        wf = g.normal(size=(K, D)).astype(np.float32)
+        bf = np.zeros((D,), np.float32)
+        a = np.asarray(
+            patch_embed_u8(
+                patches, wf, bf, block_rows=16, out_dtype=jnp.float32, interpret=True
+            )
+        )
+        r = np.asarray(patch_embed_reference(patches, wf, bf, out_dtype=jnp.float32))
+        np.testing.assert_allclose(a, r, rtol=1e-3, atol=1e-3)
