@@ -163,6 +163,14 @@ def main(argv=None) -> Dict[str, Any]:
     enc_config = model_io.load_encoder_config(
         enc_dir or "", "clip" if backend == "clip" else "siglip"
     )
+    if train_cfg.get("gradient_checkpointing", False):
+        import dataclasses
+
+        enc_config = dataclasses.replace(
+            enc_config,
+            text=dataclasses.replace(enc_config.text, remat=True),
+            vision=dataclasses.replace(enc_config.vision, remat=True),
+        )
     kwargs = (
         {"clip_config": enc_config} if backend == "clip" else {"siglip_config": enc_config}
     )
@@ -208,6 +216,8 @@ def main(argv=None) -> Dict[str, Any]:
         early_stopping_patience=early_cfg.get("patience", 3),
         seed=seed,
         num_workers=train_cfg.get("num_workers", 8),
+        freeze_text=model_cfg.get("freeze_text", False),
+        freeze_image=model_cfg.get("freeze_image", False),
     )
 
     trainer = Trainer(

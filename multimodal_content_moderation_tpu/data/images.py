@@ -122,6 +122,7 @@ class ImagePreprocessor:
         color_jitter: Tuple[float, float, float, float] = (0.1, 0.1, 0.1, 0.05),
         output: str = "float_nchw",  # "float_nchw" | "uint8_hwc"
         seed: int = 0,
+        backend: str = "pil",  # "pil" (reference-exact) | "native" (C++ fast path)
     ):
         self.H, self.W = height, width
         self.mean = np.asarray(mean, np.float32)
@@ -132,10 +133,20 @@ class ImagePreprocessor:
         self.jitter = color_jitter
         self.output = output
         self.rng = np.random.default_rng(seed)
+        self.backend = backend
+        if backend == "native":
+            from multimodal_content_moderation_tpu.data import native
+
+            if not native.available():  # pragma: no cover - toolchain-dependent
+                self.backend = "pil"
 
     # -- transforms ---------------------------------------------------------
 
     def _eval_transform(self, im: Image.Image) -> np.ndarray:
+        if self.backend == "native" and self.H == self.W:
+            from multimodal_content_moderation_tpu.data import native
+
+            return native.resize_center_crop(np.asarray(im, np.uint8), self.H)
         im = resize_shortest_edge(im, self.H)
         return center_crop(np.asarray(im, np.uint8), self.H, self.W)
 

@@ -44,6 +44,7 @@ class CLIPTextConfig:
     eos_token_id: int = 49407
     hidden_act: str = "quick_gelu"
     layer_norm_eps: float = 1e-5
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +58,7 @@ class CLIPVisionConfig:
     num_channels: int = 3
     hidden_act: str = "quick_gelu"
     layer_norm_eps: float = 1e-5
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -219,7 +221,8 @@ def clip_text_hidden(
     mask = _text_masks(input_ids, attention_mask)
     for layer in p["layers"]:
         x = transformer_block(
-            x, layer, cfg.num_heads, cfg.hidden_act, mask, cfg.layer_norm_eps
+            x, layer, cfg.num_heads, cfg.hidden_act, mask, cfg.layer_norm_eps,
+            remat=cfg.remat,
         )
     return layer_norm(x, p["final_ln"], cfg.layer_norm_eps)
 
@@ -265,7 +268,8 @@ def clip_vision_hidden(
     x = layer_norm(x, p["pre_ln"], cfg.layer_norm_eps)
     for layer in p["layers"]:
         x = transformer_block(
-            x, layer, cfg.num_heads, cfg.hidden_act, None, cfg.layer_norm_eps
+            x, layer, cfg.num_heads, cfg.hidden_act, None, cfg.layer_norm_eps,
+            remat=cfg.remat,
         )
     return x
 

@@ -41,6 +41,7 @@ class SigLIPTextConfig:
     projection_size: int = 768
     hidden_act: str = "gelu_pytorch_tanh"
     layer_norm_eps: float = 1e-6
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +55,7 @@ class SigLIPVisionConfig:
     num_channels: int = 3
     hidden_act: str = "gelu_pytorch_tanh"
     layer_norm_eps: float = 1e-6
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,7 +163,10 @@ def siglip_text_features(
         pad = (1.0 - attention_mask.astype(jnp.float32)) * NEG_INF
         mask = pad[:, None, None, :]
     for layer in p["layers"]:
-        x = transformer_block(x, layer, t.num_heads, t.hidden_act, mask, t.layer_norm_eps)
+        x = transformer_block(
+            x, layer, t.num_heads, t.hidden_act, mask, t.layer_norm_eps,
+            remat=t.remat,
+        )
     x = layer_norm(x, p["final_ln"], t.layer_norm_eps)
     pooled = x[:, -1]
     return dense(pooled, p["head"])
@@ -192,7 +197,10 @@ def siglip_vision_hidden(
     x = dense(patches, p["patch_embedding"])
     x = x + p["position_embedding"].astype(x.dtype)[None]
     for layer in p["layers"]:
-        x = transformer_block(x, layer, cfg.num_heads, cfg.hidden_act, None, cfg.layer_norm_eps)
+        x = transformer_block(
+            x, layer, cfg.num_heads, cfg.hidden_act, None, cfg.layer_norm_eps,
+            remat=cfg.remat,
+        )
     return layer_norm(x, p["post_ln"], cfg.layer_norm_eps)
 
 

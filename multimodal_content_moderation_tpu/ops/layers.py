@@ -137,19 +137,29 @@ def transformer_block(
     act: str,
     mask: Optional[jnp.ndarray] = None,
     eps: float = 1e-5,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Pre-LN transformer block shared by the CLIP and SigLIP towers.
 
     ``p = {"ln1", "attn", "ln2", "fc1", "fc2"}``. Mirrors HF
-    CLIPEncoderLayer / SiglipEncoderLayer semantics.
+    CLIPEncoderLayer / SiglipEncoderLayer semantics. With ``remat`` the block
+    is rematerialized in the backward pass (``jax.checkpoint``), trading
+    FLOPs for activation memory — the TPU equivalent of the reference's
+    ``gradient_checkpointing`` knob (config/default.yaml:61).
     """
-    activation = ACTIVATIONS[act]
-    res = x
-    y = layer_norm(x, p["ln1"], eps)
-    x = res + mha(y, y, p["attn"], num_heads, mask)
-    res = x
-    y = layer_norm(x, p["ln2"], eps)
-    y = dense(y, p["fc1"])
-    y = activation(y)
-    y = dense(y, p["fc2"])
-    return res + y
+
+    def block(x, p, mask):
+        activation = ACTIVATIONS[act]
+        res = x
+        y = layer_norm(x, p["ln1"], eps)
+        x = res + mha(y, y, p["attn"], num_heads, mask)
+        res = x
+        y = layer_norm(x, p["ln2"], eps)
+        y = dense(y, p["fc1"])
+        y = activation(y)
+        y = dense(y, p["fc2"])
+        return res + y
+
+    if remat:
+        return jax.checkpoint(block)(x, p, mask)
+    return block(x, p, mask)

@@ -75,6 +75,8 @@ class TrainArgs:
     early_stopping_patience: int = 3
     seed: int = 42
     num_workers: int = 8
+    freeze_text: bool = False
+    freeze_image: bool = False
 
 
 def make_train_step(model, tx, pos_weight: Optional[np.ndarray] = None) -> Callable:
@@ -169,6 +171,8 @@ class Trainer:
             total_steps=total,
             warmup_ratio=args.warmup_ratio,
             schedule=args.lr_scheduler_type,
+            freeze_text=args.freeze_text,
+            freeze_image=args.freeze_image,
         )
         self.params = replicate(params, self.mesh)
         self.opt_state = self.tx.init(self.params)

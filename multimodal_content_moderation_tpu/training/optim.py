@@ -16,12 +16,29 @@ import jax
 import optax
 
 
-def _label_tree(params: Any) -> Any:
-    """Label each leaf 'encoder' (backbone subtree) or 'head'."""
+def _label_tree(
+    params: Any, freeze_text: bool = False, freeze_image: bool = False
+) -> Any:
+    """Label leaves 'encoder'/'head'/'frozen'.
+
+    Freezing matches the reference semantics (src/models/fusion.py:104-108,
+    multitask.py:63-80): only the text/vision towers freeze; projection
+    matrices and heads always train.
+    """
 
     def label_subtree(name, subtree):
-        lab = "encoder" if name == "backbone" else "head"
-        return jax.tree_util.tree_map(lambda _: lab, subtree)
+        if name == "backbone":
+            out = {}
+            for sub, tree in subtree.items():
+                if (freeze_text and sub == "text_model") or (
+                    freeze_image and sub == "vision_model"
+                ):
+                    lab = "frozen"
+                else:
+                    lab = "encoder"
+                out[sub] = jax.tree_util.tree_map(lambda _: lab, tree)
+            return out
+        return jax.tree_util.tree_map(lambda _: "head", subtree)
 
     return {k: label_subtree(k, v) for k, v in params.items()}
 
@@ -38,6 +55,8 @@ def build_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    freeze_text: bool = False,
+    freeze_image: bool = False,
 ) -> optax.GradientTransformation:
     """AdamW with per-group LRs, global-norm clipping, warmup + cosine decay
     (matching the reference TrainingArguments defaults — scripts/train.py:
@@ -64,7 +83,12 @@ def build_optimizer(
         )
 
     tx = optax.multi_transform(
-        {"encoder": group(lr_encoder), "head": group(lr_head)}, _label_tree(params)
+        {
+            "encoder": group(lr_encoder),
+            "head": group(lr_head),
+            "frozen": optax.set_to_zero(),
+        },
+        _label_tree(params, freeze_text, freeze_image),
     )
     if max_grad_norm and max_grad_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)

@@ -281,3 +281,69 @@ def test_shard_batch_places_on_mesh(tiny_setup):
     sh = dev["pixel_values"].sharding
     assert sh.is_fully_replicated is False
     assert dev["pixel_values"].shape == batch["pixel_values"].shape
+
+
+def test_frozen_encoder_gets_zero_updates():
+    import optax
+
+    params = {
+        "backbone": {
+            "text_model": {"w": jnp.ones((4, 4))},
+            "vision_model": {"w": jnp.ones((4, 4))},
+        },
+        "head": {"w": jnp.ones((4, 4))},
+    }
+    tx = build_optimizer(
+        params, lr_encoder=1e-3, lr_head=1e-3, weight_decay=0.0,
+        total_steps=10, warmup_ratio=0.0, schedule="constant",
+        max_grad_norm=0.0, freeze_text=True,
+    )
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["backbone"]["text_model"]["w"]).max()) == 0.0
+    assert float(jnp.abs(updates["backbone"]["vision_model"]["w"]).max()) > 0.0
+    assert float(jnp.abs(updates["head"]["w"]).max()) > 0.0
+
+
+def test_remat_forward_and_grad_match():
+    """Gradient checkpointing must not change values or gradients."""
+    import dataclasses
+
+    from multimodal_content_moderation_tpu.models import CLIPConfig, FusionModel
+    from multimodal_content_moderation_tpu.models.clip import (
+        CLIPTextConfig,
+        CLIPVisionConfig,
+    )
+
+    cfg = CLIPConfig(
+        text=CLIPTextConfig(vocab_size=64, hidden_size=16, num_layers=2, num_heads=2,
+                            intermediate_size=32, max_positions=8, eos_token_id=63),
+        vision=CLIPVisionConfig(hidden_size=16, num_layers=2, num_heads=2,
+                                intermediate_size=32, image_size=16, patch_size=8),
+        projection_dim=16,
+    )
+    cfg_r = dataclasses.replace(
+        cfg,
+        text=dataclasses.replace(cfg.text, remat=True),
+        vision=dataclasses.replace(cfg.vision, remat=True),
+    )
+    m1 = FusionModel.create("clip", num_labels=2, fusion_dim=8, clip_config=cfg)
+    m2 = FusionModel.create("clip", num_labels=2, fusion_dim=8, clip_config=cfg_r)
+    params = m1.init(jax.random.key(0))
+    g = np.random.default_rng(0)
+    batch = {
+        "input_ids": g.integers(1, 63, size=(4, 8)),
+        "attention_mask": np.ones((4, 8), np.int32),
+        "pixel_values": g.normal(size=(4, 3, 16, 16)).astype(np.float32),
+        "text_present": np.ones((4,), np.float32),
+        "image_present": np.ones((4,), np.float32),
+        "labels": (g.random((4, 2)) < 0.5).astype(np.float32),
+    }
+    l1, g1 = jax.value_and_grad(lambda p: m1.apply(p, batch)["loss"])(params)
+    l2, g2 = jax.value_and_grad(lambda p: m2.apply(p, batch)["loss"])(params)
+    assert float(l1) == pytest.approx(float(l2), abs=1e-6)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g1, g2
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
