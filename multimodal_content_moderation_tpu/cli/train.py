@@ -218,6 +218,10 @@ def main(argv=None) -> Dict[str, Any]:
         num_workers=train_cfg.get("num_workers", 8),
         freeze_text=model_cfg.get("freeze_text", False),
         freeze_image=model_cfg.get("freeze_image", False),
+        report_to=log_cfg.get("report_to", "none") or "none",
+        logging_dir=os.path.join(output_dir, "logs"),
+        debug_nans=train_cfg.get("debug_nans", False),
+        resume_from_checkpoint=train_cfg.get("resume_from_checkpoint", "") or "",
     )
 
     trainer = Trainer(

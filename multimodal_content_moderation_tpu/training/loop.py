@@ -77,6 +77,11 @@ class TrainArgs:
     num_workers: int = 8
     freeze_text: bool = False
     freeze_image: bool = False
+    report_to: str = "none"  # "none" | "tensorboard"
+    logging_dir: str = ""
+    debug_nans: bool = False
+    resume_from_checkpoint: str = ""  # "" | "auto" | explicit trainstate dir
+    prefetch: int = 2
 
 
 def make_train_step(model, tx, pos_weight: Optional[np.ndarray] = None) -> Callable:
@@ -118,16 +123,26 @@ def evaluate_logits(
     """Stream the dataset through the jitted eval step; returns (logits,
     labels) host arrays. Last batch padded to keep shapes static; pads are
     trimmed on host."""
-    all_logits, all_labels = [], []
-    for batch in dataset.batches(
-        batch_size, pad_to_batch=True, num_workers=num_workers
-    ):
-        valid = int(batch.pop("_valid"))
-        labels = batch.pop("labels")
-        dev = shard_batch({k: batch[k] for k in batch}, mesh)
-        logits = np.asarray(eval_step(params, dev))
-        all_logits.append(logits[:valid])
-        all_labels.append(labels[:valid])
+    from multimodal_content_moderation_tpu.data.pipeline import prefetch_to_device
+
+    all_logits, all_labels, valids = [], [], []
+    outs = []
+
+    def host_batches():
+        for batch in dataset.batches(
+            batch_size, pad_to_batch=True, num_workers=num_workers
+        ):
+            valids.append(int(batch.pop("_valid")))
+            all_labels.append(batch.pop("labels")[: valids[-1]])
+            yield batch
+
+    # async dispatch: keep a bounded number of device batches in flight
+    for dev in prefetch_to_device(host_batches(), mesh):
+        outs.append(eval_step(params, dev))
+        if len(outs) > 2:
+            all_logits.append(np.asarray(outs.pop(0)))
+    all_logits.extend(np.asarray(o) for o in outs)
+    all_logits = [lg[:v] for lg, v in zip(all_logits, valids)]
     return np.concatenate(all_logits), np.concatenate(all_labels)
 
 
@@ -184,6 +199,47 @@ class Trainer:
         self.best_metric: Optional[float] = None
         self.best_checkpoint: Optional[str] = None
         self.state_log: list = []
+        self.start_epoch = 0
+        self._start_step = 0
+
+        if args.debug_nans:
+            from multimodal_content_moderation_tpu.utils.profiling import (
+                enable_nan_checks,
+            )
+
+            enable_nan_checks()
+
+        self.writer = None
+        if args.report_to == "tensorboard":
+            from multimodal_content_moderation_tpu.utils.events import EventWriter
+
+            self.writer = EventWriter(
+                args.logging_dir or f"{args.output_dir}/logs"
+            )
+
+        if args.resume_from_checkpoint:
+            self._maybe_resume(args.resume_from_checkpoint)
+
+    def _maybe_resume(self, spec: str) -> None:
+        path = (
+            ckpt_lib.latest_train_state(self.args.output_dir)
+            if spec == "auto"
+            else spec
+        )
+        if not path:
+            return
+        self.params, self.opt_state, self.rng, meta = ckpt_lib.restore_train_state(
+            path, self.params, self.opt_state, self.rng
+        )
+        # Orbax restores to single-device arrays; re-place on the mesh.
+        self.params = replicate(self.params, self.mesh)
+        self.opt_state = replicate(self.opt_state, self.mesh)
+        self.rng = replicate(self.rng, self.mesh)
+        self.start_epoch = int(meta.get("epoch", 0))
+        self._start_step = int(meta.get("step", 0))
+        self.best_metric = meta.get("best_metric")
+        self.best_checkpoint = meta.get("best_checkpoint")
+        logger.info("resumed from %s (epoch %d, step %d)", path, self.start_epoch, self._start_step)
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.train_ds)
@@ -229,22 +285,30 @@ class Trainer:
         return value < self.best_metric
 
     def train(self) -> Dict[str, Any]:
+        from multimodal_content_moderation_tpu.data.pipeline import prefetch_to_device
+
         args = self.args
-        step = 0
+        step = self._start_step
         epochs_without_improvement = 0
         history = []
         t_start = time.time()
 
-        for epoch in range(args.num_train_epochs):
+        for epoch in range(self.start_epoch, args.num_train_epochs):
             indices = self._epoch_indices(epoch)
             losses = []
-            for batch in self.train_ds.batches(
-                args.per_device_train_batch_size,
-                drop_last=True,
-                indices=indices,
-                num_workers=args.num_workers,
+
+            def host_batches():
+                for batch in self.train_ds.batches(
+                    args.per_device_train_batch_size,
+                    drop_last=True,
+                    indices=indices,
+                    num_workers=args.num_workers,
+                ):
+                    yield {k: batch[k] for k in BATCH_KEYS if k in batch}
+
+            for dev in prefetch_to_device(
+                host_batches(), self.mesh, size=args.prefetch
             ):
-                dev = shard_batch({k: batch[k] for k in BATCH_KEYS if k in batch}, self.mesh)
                 self.params, self.opt_state, self.rng, loss = self.train_step(
                     self.params, self.opt_state, self.rng, dev
                 )
@@ -253,6 +317,8 @@ class Trainer:
                     loss_val = float(loss)
                     losses.append(loss_val)
                     logger.info("step %d/%d loss %.4f", step, self.total_steps, loss_val)
+                    if self.writer:
+                        self.writer.scalar("train/loss", loss_val, step)
                 if 0 < args.max_steps <= step:
                     break
 
@@ -261,6 +327,11 @@ class Trainer:
             metrics["loss"] = float(np.mean(losses)) if losses else float(loss)
             history.append(metrics)
             logger.info("epoch %d eval: %s", epoch + 1, metrics)
+            if self.writer:
+                for k, v in metrics.items():
+                    if isinstance(v, (int, float)):
+                        self.writer.scalar(f"eval/{k}", v, step)
+                self.writer.flush()
 
             ckpt_path = ckpt_lib.save_checkpoint(
                 args.output_dir,
@@ -277,6 +348,20 @@ class Trainer:
                 epochs_without_improvement = 0
             else:
                 epochs_without_improvement += 1
+
+            ckpt_lib.save_train_state(
+                args.output_dir,
+                step,
+                self.params,
+                self.opt_state,
+                self.rng,
+                meta={
+                    "epoch": epoch + 1,
+                    "step": step,
+                    "best_metric": self.best_metric,
+                    "best_checkpoint": self.best_checkpoint,
+                },
+            )
 
             if (
                 args.early_stopping

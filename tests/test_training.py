@@ -347,3 +347,53 @@ def test_remat_forward_and_grad_match():
         lambda a, b: float(jnp.max(jnp.abs(a - b))), g1, g2
     )
     assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+
+def test_trainer_resume_from_checkpoint(tiny_setup, tmp_path):
+    """Train 1 epoch, resume 'auto', finish a second epoch — loop counters,
+    optimizer state, and best-metric tracking survive the round trip."""
+    d, model, train_ds, val_ds = tiny_setup
+    out = str(tmp_path / "resume")
+    common = dict(
+        output_dir=out,
+        per_device_train_batch_size=16,
+        per_device_eval_batch_size=16,
+        lr_encoder=1e-3,
+        lr_head=1e-2,
+        early_stopping=False,
+        seed=0,
+    )
+    args1 = TrainArgs(num_train_epochs=1, **common)
+    params = model.init(jax.random.key(0))
+    t1 = Trainer(model, params, args1, train_ds, val_ds, make_compute_metrics_multi(2))
+    r1 = t1.train()
+    assert r1["global_step"] == 4
+
+    args2 = TrainArgs(num_train_epochs=2, resume_from_checkpoint="auto", **common)
+    t2 = Trainer(model, model.init(jax.random.key(9)), args2, train_ds, val_ds,
+                 make_compute_metrics_multi(2))
+    assert t2.start_epoch == 1  # resumed past epoch 0
+    r2 = t2.train()
+    assert r2["global_step"] == 8  # continued, not restarted
+
+
+def test_tensorboard_event_file_written(tiny_setup, tmp_path):
+    d, model, train_ds, val_ds = tiny_setup
+    out = str(tmp_path / "tb")
+    args = TrainArgs(
+        output_dir=out, num_train_epochs=1, per_device_train_batch_size=16,
+        per_device_eval_batch_size=16, logging_steps=1, early_stopping=False,
+        report_to="tensorboard", seed=0,
+    )
+    t = Trainer(model, model.init(jax.random.key(0)), args, train_ds, val_ds,
+                make_compute_metrics_multi(2))
+    t.train()
+    import glob
+
+    files = glob.glob(os.path.join(out, "logs", "events.out.tfevents.*"))
+    assert files, "no event file written"
+    # file must carry the TFRecord magic framing + our tags
+    data = open(files[0], "rb").read()
+    assert b"brain.Event:2" in data
+    assert b"train/loss" in data
+    assert b"eval/roc_macro" in data
