@@ -163,13 +163,18 @@ def main(argv=None) -> Dict[str, Any]:
     enc_config = model_io.load_encoder_config(
         enc_dir or "", "clip" if backend == "clip" else "siglip"
     )
-    if train_cfg.get("gradient_checkpointing", False):
-        import dataclasses
+    import dataclasses
 
+    tower_overrides = {}
+    if train_cfg.get("gradient_checkpointing", False):
+        tower_overrides["remat"] = True
+    if train_cfg.get("precision", "fp32") in ("bf16", "bfloat16"):
+        tower_overrides["compute_dtype"] = "bfloat16"
+    if tower_overrides:
         enc_config = dataclasses.replace(
             enc_config,
-            text=dataclasses.replace(enc_config.text, remat=True),
-            vision=dataclasses.replace(enc_config.vision, remat=True),
+            text=dataclasses.replace(enc_config.text, **tower_overrides),
+            vision=dataclasses.replace(enc_config.vision, **tower_overrides),
         )
     kwargs = (
         {"clip_config": enc_config} if backend == "clip" else {"siglip_config": enc_config}
@@ -200,6 +205,7 @@ def main(argv=None) -> Dict[str, Any]:
         max_steps=train_cfg.get("max_steps", -1) or -1,
         per_device_train_batch_size=train_cfg.get("per_device_train_batch_size", 32),
         per_device_eval_batch_size=train_cfg.get("per_device_eval_batch_size", 64),
+        gradient_accumulation_steps=train_cfg.get("gradient_accumulation_steps", 1),
         lr_encoder=train_cfg.get("lr_encoder", 1e-5),
         lr_head=train_cfg.get("lr_head", 5e-4),
         weight_decay=train_cfg.get("weight_decay", 0.02),

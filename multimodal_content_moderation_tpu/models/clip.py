@@ -45,6 +45,7 @@ class CLIPTextConfig:
     hidden_act: str = "quick_gelu"
     layer_norm_eps: float = 1e-5
     remat: bool = False
+    compute_dtype: str = "float32"  # "float32" | "bfloat16" mixed precision
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +60,7 @@ class CLIPVisionConfig:
     hidden_act: str = "quick_gelu"
     layer_norm_eps: float = 1e-5
     remat: bool = False
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -218,6 +220,7 @@ def clip_text_hidden(
     p = params["text_model"]
     T = input_ids.shape[1]
     x = p["token_embedding"][input_ids] + p["position_embedding"][:T]
+    x = x.astype(cfg.compute_dtype)
     mask = _text_masks(input_ids, attention_mask)
     for layer in p["layers"]:
         x = transformer_block(
@@ -256,7 +259,7 @@ def clip_vision_hidden(
 ) -> jnp.ndarray:
     """Hidden states [B, 1+N, D] of the ViT (before post-LN)."""
     p = params["vision_model"]
-    patches = patchify(pixel_values, cfg.patch_size)
+    patches = patchify(pixel_values.astype(cfg.compute_dtype), cfg.patch_size)
     x = dense(patches, p["patch_embedding"])
     B = x.shape[0]
     cls = jnp.broadcast_to(

@@ -42,6 +42,7 @@ class SigLIPTextConfig:
     hidden_act: str = "gelu_pytorch_tanh"
     layer_norm_eps: float = 1e-6
     remat: bool = False
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,6 +57,7 @@ class SigLIPVisionConfig:
     hidden_act: str = "gelu_pytorch_tanh"
     layer_norm_eps: float = 1e-6
     remat: bool = False
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -158,6 +160,7 @@ def siglip_text_features(
     p = params["text_model"]
     T = input_ids.shape[1]
     x = p["token_embedding"][input_ids] + p["position_embedding"][:T]
+    x = x.astype(t.compute_dtype)
     mask = None
     if attention_mask is not None:
         pad = (1.0 - attention_mask.astype(jnp.float32)) * NEG_INF
@@ -193,7 +196,7 @@ def siglip_vision_hidden(
 ) -> jnp.ndarray:
     """Post-LN hidden states [B, N, D] of the SigLIP ViT."""
     p = params["vision_model"]
-    patches = patchify(pixel_values, cfg.patch_size)
+    patches = patchify(pixel_values.astype(cfg.compute_dtype), cfg.patch_size)
     x = dense(patches, p["patch_embedding"])
     x = x + p["position_embedding"].astype(x.dtype)[None]
     for layer in p["layers"]:

@@ -48,8 +48,15 @@ ACTIVATIONS = {
 
 
 def dense(x: jnp.ndarray, p: dict) -> jnp.ndarray:
-    """Affine layer. ``p = {"w": (in, out), "b": (out,)} `` (b optional)."""
-    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    """Affine layer. ``p = {"w": (in, out), "b": (out,)} `` (b optional).
+
+    Weights are cast to the activation dtype (mixed precision: fp32 master
+    params, bf16 compute — XLA folds the cast) with fp32 MXU accumulation.
+    """
+    w = p["w"]
+    if w.dtype != x.dtype:
+        w = w.astype(x.dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if "b" in p and p["b"] is not None:
         y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype)

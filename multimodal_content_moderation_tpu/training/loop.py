@@ -59,6 +59,7 @@ class TrainArgs:
     max_steps: int = -1
     per_device_train_batch_size: int = 32
     per_device_eval_batch_size: int = 64
+    gradient_accumulation_steps: int = 1
     lr_encoder: float = 1e-5
     lr_head: float = 5e-4
     weight_decay: float = 0.02
@@ -177,18 +178,21 @@ class Trainer:
         )
         self.total_steps = total
 
+        accum = max(args.gradient_accumulation_steps, 1)
         self.tx = build_optimizer(
             params,
             lr_encoder=args.lr_encoder,
             lr_head=args.lr_head,
             weight_decay=args.weight_decay,
             max_grad_norm=args.max_grad_norm,
-            total_steps=total,
+            total_steps=-(-total // accum),  # optimizer steps after accumulation
             warmup_ratio=args.warmup_ratio,
             schedule=args.lr_scheduler_type,
             freeze_text=args.freeze_text,
             freeze_image=args.freeze_image,
         )
+        if accum > 1:
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=accum)
         self.params = replicate(params, self.mesh)
         self.opt_state = self.tx.init(self.params)
         self.rng = jax.random.key(args.seed)

@@ -397,3 +397,73 @@ def test_tensorboard_event_file_written(tiny_setup, tmp_path):
     assert b"brain.Event:2" in data
     assert b"train/loss" in data
     assert b"eval/roc_macro" in data
+
+
+def test_gradient_accumulation_updates_every_k(tiny_setup, tmp_path):
+    """With accumulation k=2, params change only every 2nd micro-step and the
+    applied update equals the mean-gradient step."""
+    d, model, train_ds, val_ds = tiny_setup
+    args = TrainArgs(
+        output_dir=str(tmp_path / "ga"),
+        num_train_epochs=1,
+        per_device_train_batch_size=16,
+        per_device_eval_batch_size=16,
+        gradient_accumulation_steps=2,
+        lr_head=1e-2,
+        lr_encoder=1e-3,
+        early_stopping=False,
+        seed=0,
+    )
+    params = model.init(jax.random.key(0))
+    t = Trainer(model, params, args, train_ds, val_ds, make_compute_metrics_multi(2))
+    p0 = jax.tree_util.tree_leaves(t.params)[0].copy()
+
+    gen = t.train_ds.batches(16, drop_last=True, indices=np.arange(64))
+    from multimodal_content_moderation_tpu.parallel.mesh import shard_batch
+
+    b1 = shard_batch(next(gen), t.mesh)
+    t.params, t.opt_state, t.rng, _ = t.train_step(t.params, t.opt_state, t.rng, b1)
+    p_after_1 = jax.tree_util.tree_leaves(t.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p_after_1))  # held
+
+    b2 = shard_batch(next(gen), t.mesh)
+    t.params, t.opt_state, t.rng, _ = t.train_step(t.params, t.opt_state, t.rng, b2)
+    p_after_2 = jax.tree_util.tree_leaves(t.params)[0]
+    assert not np.array_equal(np.asarray(p0), np.asarray(p_after_2))  # applied
+
+
+def test_bf16_compute_dtype_close_to_fp32():
+    import dataclasses
+
+    from multimodal_content_moderation_tpu.models.clip import (
+        CLIPTextConfig,
+        CLIPVisionConfig,
+    )
+
+    cfg = CLIPConfig(
+        text=CLIPTextConfig(vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+                            intermediate_size=64, max_positions=8, eos_token_id=63),
+        vision=CLIPVisionConfig(hidden_size=32, num_layers=2, num_heads=2,
+                                intermediate_size=64, image_size=16, patch_size=8),
+        projection_dim=32,
+    )
+    cfg_bf = dataclasses.replace(
+        cfg,
+        text=dataclasses.replace(cfg.text, compute_dtype="bfloat16"),
+        vision=dataclasses.replace(cfg.vision, compute_dtype="bfloat16"),
+    )
+    m32 = FusionModel.create("clip", num_labels=2, fusion_dim=16, clip_config=cfg)
+    mbf = FusionModel.create("clip", num_labels=2, fusion_dim=16, clip_config=cfg_bf)
+    params = m32.init(jax.random.key(0))
+    g = np.random.default_rng(0)
+    batch = {
+        "input_ids": g.integers(1, 63, size=(4, 8)),
+        "attention_mask": np.ones((4, 8), np.int32),
+        "pixel_values": g.normal(size=(4, 3, 16, 16)).astype(np.float32),
+        "text_present": np.ones((4,), np.float32),
+        "image_present": np.ones((4,), np.float32),
+    }
+    l32 = np.asarray(m32.apply(params, batch)["logits"])
+    lbf = np.asarray(mbf.apply(params, batch)["logits"])
+    # bf16 compute, fp32 master params: logits agree to bf16 tolerance
+    assert np.abs(l32 - lbf).max() < 0.05
