@@ -254,13 +254,14 @@ def clip_text_features(
     return dense(pooled, params["text_projection"])
 
 
-def clip_vision_hidden(
-    params: dict, pixel_values: jnp.ndarray, cfg: CLIPVisionConfig
+def clip_vision_encoder(
+    params: dict, tokens: jnp.ndarray, cfg: CLIPVisionConfig
 ) -> jnp.ndarray:
-    """Hidden states [B, 1+N, D] of the ViT (before post-LN)."""
+    """ViT trunk over already-embedded patch tokens [B, N, D] -> [B, 1+N, D]
+    (CLS prepend + pos-embed + pre-LN + blocks). Shared by the fp32 pixel
+    path and the uint8 wire-format fast path (ops/pallas_image)."""
     p = params["vision_model"]
-    patches = patchify(pixel_values.astype(cfg.compute_dtype), cfg.patch_size)
-    x = dense(patches, p["patch_embedding"])
+    x = tokens
     B = x.shape[0]
     cls = jnp.broadcast_to(
         p["class_embedding"].astype(x.dtype)[None, None, :],
@@ -275,6 +276,15 @@ def clip_vision_hidden(
             remat=cfg.remat,
         )
     return x
+
+
+def clip_vision_hidden(
+    params: dict, pixel_values: jnp.ndarray, cfg: CLIPVisionConfig
+) -> jnp.ndarray:
+    """Hidden states [B, 1+N, D] of the ViT (before post-LN)."""
+    patches = patchify(pixel_values.astype(cfg.compute_dtype), cfg.patch_size)
+    tokens = dense(patches, params["vision_model"]["patch_embedding"])
+    return clip_vision_encoder(params, tokens, cfg)
 
 
 def clip_vision_pooled(

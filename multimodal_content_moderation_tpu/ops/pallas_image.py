@@ -63,8 +63,11 @@ def fold_norm_into_embed(
 
 
 def _embed_kernel(x_ref, w_ref, b_ref, o_ref):
-    """One block of rows: u8 -> f32 -> GEMM -> +bias."""
-    x = x_ref[...].astype(jnp.float32)
+    """One block of rows: u8 -> f32 -> GEMM -> +bias.
+
+    The int32 hop is required: Mosaic has no direct uint8->float32 cast.
+    """
+    x = x_ref[...].astype(jnp.int32).astype(jnp.float32)
     acc = jnp.dot(x, w_ref[...], preferred_element_type=jnp.float32)
     o_ref[...] = (acc + b_ref[...]).astype(o_ref.dtype)
 
