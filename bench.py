@@ -29,8 +29,8 @@ import time
 import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 381.5  # reference clip_fusion test throughput
-N_SAMPLES = 10_000
-BATCH = 500
+N_SAMPLES = 10_176  # 53 batches of 192 (VMEM-sweet-spot batch, measured sweep)
+BATCH = 192
 SEQ = 77
 N_STAGED = 4  # distinct staged batches rotated through the run
 PASSES = 3
@@ -65,7 +65,7 @@ def main() -> None:
     eos = model.clip_config.text.eos_token_id
     img = model.image_size
 
-    n_batches = N_SAMPLES // BATCH
+    n_batches = -(-N_SAMPLES // BATCH)
 
     def make_ids(seed):
         gg = np.random.default_rng(seed)
