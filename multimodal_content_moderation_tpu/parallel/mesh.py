@@ -50,8 +50,15 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Place a host batch on the mesh, sharded over the data axis.
 
-    Scalar entries (e.g. ``_valid``) are replicated.
+    Scalar entries (e.g. ``_valid``) are replicated. On a single-device mesh
+    this collapses to a plain ``device_put``: GSPMD-annotated arrays take a
+    pathologically slow path on some backends (measured 130x on the tunneled
+    axon chip) and carry no information when there is nothing to shard.
     """
+    if mesh.devices.size == 1:
+        dev = mesh.devices.reshape(-1)[0]
+        return {k: jax.device_put(np.asarray(v), dev) for k, v in batch.items()}
+
     data = batch_sharding(mesh)
     repl = replicated_sharding(mesh)
 
@@ -63,7 +70,12 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    Single-device meshes use a plain ``device_put`` (see shard_batch)."""
+    if mesh.devices.size == 1:
+        dev = mesh.devices.reshape(-1)[0]
+        return jax.device_put(tree, dev)
     repl = replicated_sharding(mesh)
     return jax.device_put(tree, repl)
 
