@@ -36,8 +36,6 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
-    import jax
-
     from multimodal_content_moderation_tpu.models import model_io
     from multimodal_content_moderation_tpu.parallel.mesh import build_mesh, replicate
     from multimodal_content_moderation_tpu.training.loop import (

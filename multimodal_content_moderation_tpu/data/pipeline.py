@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Any, Dict, Iterator, Optional
+from typing import Any, Dict, Iterator
 
 from multimodal_content_moderation_tpu.parallel.mesh import shard_batch
 

@@ -25,11 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from multimodal_content_moderation_tpu.parallel.mesh import (
-    build_mesh,
-    replicate,
-    shard_batch,
-)
+from multimodal_content_moderation_tpu.parallel.mesh import build_mesh, replicate
 from multimodal_content_moderation_tpu.training import checkpoints as ckpt_lib
 from multimodal_content_moderation_tpu.training.optim import build_optimizer
 from multimodal_content_moderation_tpu.training.sampling import (

@@ -10,7 +10,7 @@ Set ``lr_encoder == lr_head`` to reproduce the reference's actual behavior.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import optax

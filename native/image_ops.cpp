@@ -161,7 +161,6 @@ void resize_shortest_edge_center_crop_u8(const uint8_t* src, int h, int w,
   std::memset(dst, 0, static_cast<size_t>(out) * out * c);
   const int top = (nh - out) / 2;
   const int left = (nw - out) / 2;
-  const int dst_y0 = top < 0 ? -top / 2 : 0;  // only hit when nh < out
   for (int y = 0; y < out; ++y) {
     const int sy = top + y;
     if (sy < 0 || sy >= nh) continue;
@@ -173,7 +172,6 @@ void resize_shortest_edge_center_crop_u8(const uint8_t* src, int h, int w,
                 resized.data() + (static_cast<size_t>(sy) * nw + sx0) * c,
                 static_cast<size_t>(span) * c);
   }
-  (void)dst_y0;
 }
 
 }  // extern "C"

@@ -49,10 +49,6 @@ import json  # noqa: E402
 # ---------------------------------------------------------------------------
 
 
-def _make_fixture_imports():
-    pass
-
-
 @pytest.fixture(scope="session")
 def encoder_dir(tmp_path_factory):
     """A tiny but complete CLIP encoder checkpoint directory."""
