@@ -62,7 +62,7 @@ def main(argv=None):
         args.image_root,
         tokenizer,
         ImagePreprocessor(H, W, mean, std),
-        int(config.get("max_text_length", 77)),
+        min(int(config.get("max_text_length", 77)), model.text_max_positions),
         class_names=class_names if len(class_names) > 1 else None,
     )
     print(f"Test samples: {len(test_ds)}")

@@ -50,7 +50,12 @@ class MultiModalClassifier:
         self.thresholds: List[float] = self.config.get(
             "thresholds", [0.5] * len(self.class_names)
         )
-        self.max_len = int(self.config.get("max_text_length", 77))
+        # reference-written inference_config.json has no max_text_length
+        # (scripts/train.py:357-366); clamp to the encoder's context window
+        self.max_len = min(
+            int(self.config.get("max_text_length", 77)),
+            self.model.text_max_positions,
+        )
         self.batch_size = batch_size
 
         enc_dir = (

@@ -163,6 +163,11 @@ class FusionModel:
         cfg = self.clip_config.vision if self.backend == "clip" else self.siglip_config.vision
         return cfg.image_size
 
+    @property
+    def text_max_positions(self) -> int:
+        cfg = self.clip_config.text if self.backend == "clip" else self.siglip_config.text
+        return cfg.max_positions
+
     def init(self, rng: jax.Array, dtype=jnp.float32) -> dict:
         kb, kh = jax.random.split(rng)
         if self.backend == "clip":
