@@ -246,6 +246,19 @@ def main(argv=None) -> Dict[str, Any]:
         test_results = {f"test_{k}": v for k, v in tm.items()}
         save_json(test_results, os.path.join(output_dir, "test_metrics.json"))
         logger.info("test: %s", test_results)
+        if config.get("dump_test_predictions", False):
+            t_logits, t_labels = trainer.predict(test_ds)
+            t_probs = 1 / (1 + np.exp(-t_logits))
+            import pandas as pd
+
+            pred_df = pd.DataFrame(
+                {f"prob_{n}": t_probs[:, j] for j, n in enumerate(class_names)}
+            )
+            for j, n in enumerate(class_names):
+                pred_df[f"label_{n}"] = t_labels[:, j]
+            pred_df.to_csv(
+                os.path.join(output_dir, "test_predictions.csv"), index=False
+            )
 
     logits, labels = trainer.predict(val_ds)
     probs = 1 / (1 + np.exp(-logits))

@@ -39,8 +39,10 @@ def _crc32c(data: bytes) -> int:
 
 
 def _masked_crc(data: bytes) -> int:
+    # TFRecord masking: rotate right by 15, then ADD the masking delta.
     crc = _crc32c(data)
-    return ((crc >> 15) | (crc << 17)) & 0xFFFFFFFF ^ 0xA282EAD8 & 0xFFFFFFFF
+    rot = ((crc >> 15) | (crc << 17)) & 0xFFFFFFFF
+    return (rot + 0xA282EAD8) & 0xFFFFFFFF
 
 
 # --- tiny protobuf encoding -------------------------------------------------

@@ -311,3 +311,58 @@ def test_full_mtl_model_parity():
     }
     got = np.asarray(model.apply(params, batch)["logits"])
     np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
+
+
+def test_mtl_auto_backend_with_siglip_towers():
+    """MTL 'auto' backend pools via SigLIP text-head + vision MAP head
+    (reference multitask.py:138-154 fallback chain)."""
+    import jax
+
+    from multimodal_content_moderation_tpu.models import MultiTaskModel, SigLIPConfig
+    from multimodal_content_moderation_tpu.models.convert import (
+        mtl_head_from_torch,
+        siglip_params_from_torch,
+    )
+
+    torch.manual_seed(9)
+    hf_cfg = transformers.SiglipConfig(
+        text_config=dict(hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+                         intermediate_size=64, max_position_embeddings=8, vocab_size=100),
+        vision_config=dict(hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+                           intermediate_size=64, image_size=16, patch_size=8),
+    )
+    sm = transformers.SiglipModel(hf_cfg).eval()
+    head = TorchMTLHead(32, 32, 16, 2).eval()
+
+    cfg = SigLIPConfig.from_hf(hf_cfg)
+    model = MultiTaskModel.create("auto", num_tasks=2, fusion_dim=16, siglip_config=cfg)
+    params = {
+        "backbone": siglip_params_from_torch(sm.state_dict(), cfg),
+        "head": mtl_head_from_torch(head.state_dict(), num_tasks=2),
+    }
+
+    g = np.random.default_rng(9)
+    B = 2
+    ids = g.integers(0, 99, size=(B, 8)).astype(np.int64)
+    px = g.normal(size=(B, 3, 16, 16)).astype(np.float32)
+    tp = np.ones((B,), np.float32)
+    ip = np.ones((B,), np.float32)
+
+    with torch.no_grad():
+        t_out = sm.text_model(input_ids=torch.tensor(ids)).pooler_output
+        v_out = sm.vision_model(pixel_values=torch.tensor(px)).pooler_output
+        ref = head(t_out, v_out, torch.tensor(tp), torch.tensor(ip)).numpy()
+
+    got = np.asarray(
+        model.apply(
+            params,
+            {
+                "input_ids": ids,
+                "attention_mask": None,
+                "pixel_values": px,
+                "text_present": tp,
+                "image_present": ip,
+            },
+        )["logits"]
+    )
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
