@@ -183,6 +183,9 @@ def clip_init(rng: jax.Array, cfg: CLIPConfig, dtype=jnp.float32) -> dict:
     return {
         "text_model": text,
         "vision_model": vision,
+        # contrastive temperature: unused by the classifier heads but kept so
+        # converted checkpoints round-trip bit-complete (HF init value)
+        "logit_scale": jnp.asarray(2.6592, dtype),
         "text_projection": {
             "w": jax.random.normal(kp1, (t.hidden_size, cfg.projection_dim), dtype)
             * (t.hidden_size ** -0.5)

@@ -114,12 +114,15 @@ def clip_vision_tower_from_torch(sd: Dict, cfg: CLIPConfig, prefix: str = "visio
 def clip_params_from_torch(sd: Dict, cfg: CLIPConfig, prefix: str = "") -> dict:
     """Full CLIPModel state dict -> pytree (with projections)."""
     s = _strip_prefix(sd, prefix)
-    return {
+    out = {
         "text_model": clip_text_tower_from_torch(s, cfg),
         "vision_model": clip_vision_tower_from_torch(s, cfg),
         "text_projection": _linear(s, "text_projection", bias=False),
         "visual_projection": _linear(s, "visual_projection", bias=False),
     }
+    if "logit_scale" in s:
+        out["logit_scale"] = _np(s["logit_scale"]).reshape(())
+    return out
 
 
 def siglip_params_from_torch(sd: Dict, cfg: SigLIPConfig, prefix: str = "") -> dict:
@@ -134,7 +137,7 @@ def siglip_params_from_torch(sd: Dict, cfg: SigLIPConfig, prefix: str = "") -> d
     qw, kw, vw = in_w[:d], in_w[d : 2 * d], in_w[2 * d :]
     qb, kb, vb = in_b[:d], in_b[d : 2 * d], in_b[2 * d :]
 
-    return {
+    out = {
         "text_model": {
             "token_embedding": _np(t["embeddings.token_embedding.weight"]),
             "position_embedding": _np(t["embeddings.position_embedding.weight"]),
@@ -161,6 +164,12 @@ def siglip_params_from_torch(sd: Dict, cfg: SigLIPConfig, prefix: str = "") -> d
             },
         },
     }
+    # HF SigLIP stores these as shape-(1,) parameters; normalize to scalars
+    if "logit_scale" in s:
+        out["logit_scale"] = _np(s["logit_scale"]).reshape(())
+    if "logit_bias" in s:
+        out["logit_bias"] = _np(s["logit_bias"]).reshape(())
+    return out
 
 
 # ---------------------------------------------------------------------------

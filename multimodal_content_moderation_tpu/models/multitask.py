@@ -191,9 +191,11 @@ class MultiTaskModel:
         kb, kh = jax.random.split(rng)
         if self.backend == "clip":
             backbone = clip_mod.clip_init(kb, self.clip_config, dtype)
-            # The MTL model uses bare towers; projection matrices are unused.
+            # The MTL model uses bare towers (CLIPText/VisionModel), which
+            # carry no projections or logit_scale.
             backbone.pop("text_projection", None)
             backbone.pop("visual_projection", None)
+            backbone.pop("logit_scale", None)
         else:
             backbone = siglip_mod.siglip_init(kb, self.siglip_config, dtype)
         tdim, idim = self.tower_dims

@@ -146,7 +146,13 @@ def siglip_init(rng: jax.Array, cfg: SigLIPConfig, dtype=jnp.float32) -> dict:
             "fc2": _dense_init(vk[-1], v.intermediate_size, v.hidden_size, dtype),
         },
     }
-    return {"text_model": text, "vision_model": vision}
+    return {
+        "text_model": text,
+        "vision_model": vision,
+        # kept for checkpoint round-trip completeness (unused by the heads)
+        "logit_scale": jnp.asarray(1.0, dtype),
+        "logit_bias": jnp.asarray(0.0, dtype),
+    }
 
 
 def siglip_text_features(
