@@ -117,3 +117,30 @@ def test_mtl_export_roundtrip(tmp_path):
     )
     assert not unexpected
     assert all("position_ids" in m for m in missing)
+
+
+def test_export_cli_roundtrip(trained_run, data_dir, tmp_path):
+    """Orbax run -> export CLI -> reference-format bundle -> inference API."""
+    from multimodal_content_moderation_tpu.cli import export as export_cli
+    from multimodal_content_moderation_tpu.cli.inference import MultiModalClassifier
+
+    _, result = trained_run
+    ckpt = result["result"]["best_checkpoint"]
+    out = str(tmp_path / "exported")
+    export_cli.main(["--checkpoint", ckpt, "--output_dir", out])
+
+    import os
+
+    bundle = os.path.join(out, "checkpoint-exported")
+    assert os.path.exists(os.path.join(bundle, "model.safetensors"))
+    assert os.path.exists(os.path.join(bundle, "vocab.json"))  # assets carried
+
+    # the exported bundle loads through the same API as a reference checkpoint
+    clf_ref = MultiModalClassifier(bundle, batch_size=4)
+    clf_orbax = MultiModalClassifier(ckpt, batch_size=4)
+    r1 = clf_ref.predict("hate hate hate", None)
+    r2 = clf_orbax.predict("hate hate hate", None)
+    for name in r1["predictions"]:
+        assert r1["predictions"][name]["probability"] == pytest.approx(
+            r2["predictions"][name]["probability"], abs=1e-5
+        )
