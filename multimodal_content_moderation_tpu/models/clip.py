@@ -46,6 +46,7 @@ class CLIPTextConfig:
     layer_norm_eps: float = 1e-5
     remat: bool = False
     compute_dtype: str = "float32"  # "float32" | "bfloat16" mixed precision
+    attention_impl: str = "xla"  # "xla" | "pallas" (fused kernel path)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,6 +62,7 @@ class CLIPVisionConfig:
     layer_norm_eps: float = 1e-5
     remat: bool = False
     compute_dtype: str = "float32"
+    attention_impl: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -229,6 +231,7 @@ def clip_text_hidden(
         x = transformer_block(
             x, layer, cfg.num_heads, cfg.hidden_act, mask, cfg.layer_norm_eps,
             remat=cfg.remat,
+            attention_impl=cfg.attention_impl,
         )
     return layer_norm(x, p["final_ln"], cfg.layer_norm_eps)
 
@@ -277,6 +280,7 @@ def clip_vision_encoder(
         x = transformer_block(
             x, layer, cfg.num_heads, cfg.hidden_act, None, cfg.layer_norm_eps,
             remat=cfg.remat,
+            attention_impl=cfg.attention_impl,
         )
     return x
 

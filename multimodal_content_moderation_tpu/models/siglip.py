@@ -43,6 +43,7 @@ class SigLIPTextConfig:
     layer_norm_eps: float = 1e-6
     remat: bool = False
     compute_dtype: str = "float32"
+    attention_impl: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,6 +59,7 @@ class SigLIPVisionConfig:
     layer_norm_eps: float = 1e-6
     remat: bool = False
     compute_dtype: str = "float32"
+    attention_impl: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -175,6 +177,7 @@ def siglip_text_features(
         x = transformer_block(
             x, layer, t.num_heads, t.hidden_act, mask, t.layer_norm_eps,
             remat=t.remat,
+            attention_impl=t.attention_impl,
         )
     x = layer_norm(x, p["final_ln"], t.layer_norm_eps)
     pooled = x[:, -1]
@@ -209,6 +212,7 @@ def siglip_vision_hidden(
         x = transformer_block(
             x, layer, cfg.num_heads, cfg.hidden_act, None, cfg.layer_norm_eps,
             remat=cfg.remat,
+            attention_impl=cfg.attention_impl,
         )
     return layer_norm(x, p["post_ln"], cfg.layer_norm_eps)
 

@@ -107,12 +107,18 @@ def mha(
     p: dict,
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """Multi-head attention with fp32 softmax.
 
     ``p`` holds ``q``/``k``/``v``/``o`` dense params. ``mask`` is an additive
     fp32 bias broadcastable to [B, heads, Tq, Tk] (use large negatives for
     masked positions, matching the torch additive-mask convention).
+
+    ``impl`` selects the attention core: "xla" (einsum softmax chain —
+    measured faster for the short-sequence encoders here) or "pallas" (the
+    fused kernels in ops/pallas_attention — the long-context path; runs in
+    interpret mode on CPU).
     """
     B, Tq, D = x_q.shape
     Tk = x_kv.shape[1]
@@ -123,16 +129,22 @@ def mha(
     k = dense(x_kv, p["k"]).reshape(B, Tk, h, dh).transpose(0, 2, 1, 3)
     v = dense(x_kv, p["v"]).reshape(B, Tk, h, dh).transpose(0, 2, 1, 3)
 
-    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    if mask is not None:
-        logits = logits + mask.astype(jnp.float32)
-    weights = jax.nn.softmax(logits, axis=-1).astype(x_q.dtype)
-    out = jnp.einsum(
-        "bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32
-    ).astype(x_q.dtype)
+    if impl == "pallas":
+        from multimodal_content_moderation_tpu.ops.pallas_attention import fused_mha
+
+        interpret = jax.default_backend() == "cpu"
+        out = fused_mha(q, k, v, mask, interpret=interpret)
+    else:
+        scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if mask is not None:
+            logits = logits + mask.astype(jnp.float32)
+        weights = jax.nn.softmax(logits, axis=-1).astype(x_q.dtype)
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32
+        ).astype(x_q.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
     return dense(out, p["o"])
 
@@ -145,6 +157,7 @@ def transformer_block(
     mask: Optional[jnp.ndarray] = None,
     eps: float = 1e-5,
     remat: bool = False,
+    attention_impl: str = "xla",
 ) -> jnp.ndarray:
     """Pre-LN transformer block shared by the CLIP and SigLIP towers.
 
@@ -159,7 +172,7 @@ def transformer_block(
         activation = ACTIVATIONS[act]
         res = x
         y = layer_norm(x, p["ln1"], eps)
-        x = res + mha(y, y, p["attn"], num_heads, mask)
+        x = res + mha(y, y, p["attn"], num_heads, mask, impl=attention_impl)
         res = x
         y = layer_norm(x, p["ln2"], eps)
         y = dense(y, p["fc1"])

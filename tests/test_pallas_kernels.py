@@ -171,3 +171,46 @@ class TestPatchEmbed:
         )
         r = np.asarray(patch_embed_reference(patches, wf, bf, out_dtype=jnp.float32))
         np.testing.assert_allclose(a, r, rtol=1e-3, atol=1e-3)
+
+
+def test_attention_impl_pallas_in_model():
+    """attention_impl='pallas' on the tower config must match the XLA path
+    (interpret-mode kernels on CPU)."""
+    import dataclasses
+
+    from multimodal_content_moderation_tpu.models import CLIPConfig
+    from multimodal_content_moderation_tpu.models.clip import (
+        CLIPTextConfig,
+        CLIPVisionConfig,
+        clip_image_features,
+        clip_text_features,
+        clip_init,
+    )
+
+    cfg = CLIPConfig(
+        text=CLIPTextConfig(vocab_size=64, hidden_size=32, num_layers=1,
+                            num_heads=2, intermediate_size=64, max_positions=8,
+                            eos_token_id=63),
+        vision=CLIPVisionConfig(hidden_size=32, num_layers=1, num_heads=2,
+                                intermediate_size=64, image_size=16, patch_size=8),
+        projection_dim=16,
+    )
+    cfg_pl = dataclasses.replace(
+        cfg,
+        text=dataclasses.replace(cfg.text, attention_impl="pallas"),
+        vision=dataclasses.replace(cfg.vision, attention_impl="pallas"),
+    )
+    params = clip_init(jax.random.key(0), cfg)
+    g = np.random.default_rng(0)
+    ids = g.integers(1, 62, size=(2, 8)).astype(np.int32)
+    ids[:, 5] = 63
+    mask = np.ones((2, 8), np.int32)
+    px = g.normal(size=(2, 3, 16, 16)).astype(np.float32)
+
+    t_x = np.asarray(clip_text_features(params, ids, mask, cfg))
+    t_p = np.asarray(clip_text_features(params, ids, mask, cfg_pl))
+    np.testing.assert_allclose(t_p, t_x, atol=2e-5, rtol=1e-4)
+
+    v_x = np.asarray(clip_image_features(params, px, cfg))
+    v_p = np.asarray(clip_image_features(params, px, cfg_pl))
+    np.testing.assert_allclose(v_p, v_x, atol=2e-5, rtol=1e-4)
