@@ -54,8 +54,12 @@ def main() -> None:
         model,
         clip_config=dataclasses.replace(
             cfg,
-            text=dataclasses.replace(cfg.text, compute_dtype="bfloat16"),
-            vision=dataclasses.replace(cfg.vision, compute_dtype="bfloat16"),
+            text=dataclasses.replace(
+                cfg.text, compute_dtype="bfloat16", scores_dtype="bfloat16"
+            ),
+            vision=dataclasses.replace(
+                cfg.vision, compute_dtype="bfloat16", scores_dtype="bfloat16"
+            ),
         ),
     )
     params = to_dtype(model.init(jax.random.key(0)), jnp.bfloat16)

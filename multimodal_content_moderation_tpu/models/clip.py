@@ -47,6 +47,7 @@ class CLIPTextConfig:
     remat: bool = False
     compute_dtype: str = "float32"  # "float32" | "bfloat16" mixed precision
     attention_impl: str = "xla"  # "xla" | "pallas" (fused kernel path)
+    scores_dtype: str = "float32"  # "bfloat16" = +17% eval, opt-in
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,6 +64,7 @@ class CLIPVisionConfig:
     remat: bool = False
     compute_dtype: str = "float32"
     attention_impl: str = "xla"
+    scores_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -232,6 +234,7 @@ def clip_text_hidden(
             x, layer, cfg.num_heads, cfg.hidden_act, mask, cfg.layer_norm_eps,
             remat=cfg.remat,
             attention_impl=cfg.attention_impl,
+            scores_dtype=cfg.scores_dtype,
         )
     return layer_norm(x, p["final_ln"], cfg.layer_norm_eps)
 
@@ -281,6 +284,7 @@ def clip_vision_encoder(
             x, layer, cfg.num_heads, cfg.hidden_act, None, cfg.layer_norm_eps,
             remat=cfg.remat,
             attention_impl=cfg.attention_impl,
+            scores_dtype=cfg.scores_dtype,
         )
     return x
 

@@ -44,6 +44,7 @@ class SigLIPTextConfig:
     remat: bool = False
     compute_dtype: str = "float32"
     attention_impl: str = "xla"
+    scores_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,6 +61,7 @@ class SigLIPVisionConfig:
     remat: bool = False
     compute_dtype: str = "float32"
     attention_impl: str = "xla"
+    scores_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,6 +180,7 @@ def siglip_text_features(
             x, layer, t.num_heads, t.hidden_act, mask, t.layer_norm_eps,
             remat=t.remat,
             attention_impl=t.attention_impl,
+            scores_dtype=t.scores_dtype,
         )
     x = layer_norm(x, p["final_ln"], t.layer_norm_eps)
     pooled = x[:, -1]
@@ -213,6 +216,7 @@ def siglip_vision_hidden(
             x, layer, cfg.num_heads, cfg.hidden_act, None, cfg.layer_norm_eps,
             remat=cfg.remat,
             attention_impl=cfg.attention_impl,
+            scores_dtype=cfg.scores_dtype,
         )
     return layer_norm(x, p["post_ln"], cfg.layer_norm_eps)
 

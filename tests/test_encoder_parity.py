@@ -175,3 +175,25 @@ class TestSigLIPParity:
             ref = model.get_image_features(pixel_values=torch.tensor(px)).numpy()
         got = np.asarray(siglip_image_features(params, px, cfg))
         np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_bf16_scores_close_to_fp32(clip_pair):
+    """scores_dtype='bfloat16' (the fast-eval knob) stays within bf16
+    rounding of the fp32 path."""
+    import dataclasses
+
+    _, cfg, params = clip_pair
+    cfg_fast = dataclasses.replace(
+        cfg,
+        text=dataclasses.replace(cfg.text, scores_dtype="bfloat16"),
+        vision=dataclasses.replace(cfg.vision, scores_dtype="bfloat16"),
+    )
+    ids, mask = _text_inputs(11)
+    a = np.asarray(clip_text_features(params, ids, mask, cfg))
+    b = np.asarray(clip_text_features(params, ids, mask, cfg_fast))
+    assert np.abs(a - b).max() < 0.05
+    g = np.random.default_rng(11)
+    px = g.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    va = np.asarray(clip_image_features(params, px, cfg))
+    vb = np.asarray(clip_image_features(params, px, cfg_fast))
+    assert np.abs(va - vb).max() < 0.05
