@@ -30,6 +30,13 @@ def parse_args(argv=None):
     parser.add_argument("--image_root", type=str, default="")
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--output", type=str, default=None)
+    parser.add_argument(
+        "--precision",
+        choices=["fp32", "bf16", "bf16_fast"],
+        default="fp32",
+        help="fp32 = strict parity; bf16 = mixed precision; bf16_fast adds "
+        "bf16 attention scores (fastest, small logit rounding)",
+    )
     return parser.parse_args(argv)
 
 
@@ -49,6 +56,17 @@ def main(argv=None):
 
     print(f"Loading model from: {args.checkpoint}")
     model, params, config = model_io.load_checkpoint(args.checkpoint, args.encoder_dir)
+    if args.precision in ("bf16", "bf16_fast"):
+        import jax.numpy as jnp
+
+        from multimodal_content_moderation_tpu.models.convert import to_dtype
+
+        model = model_io.with_performance_options(
+            model,
+            compute_dtype="bfloat16",
+            scores_dtype="bfloat16" if args.precision == "bf16_fast" else None,
+        )
+        params = to_dtype(params, jnp.bfloat16)
     class_names = config.get("class_names", ["harmful"])
     thresholds = config.get("thresholds", [0.5] * len(class_names))
     print(f"Classes: {class_names}")

@@ -38,6 +38,7 @@ class MultiModalClassifier:
         encoder_dir: Optional[str] = None,
         batch_size: int = 32,
         dtype=None,
+        precision: str = "fp32",  # fp32 | bf16 | bf16_fast
     ):
         import jax
 
@@ -46,6 +47,17 @@ class MultiModalClassifier:
         self.model, self.params, self.config = model_io.load_checkpoint(
             checkpoint_dir, encoder_dir, dtype=dtype
         )
+        if precision in ("bf16", "bf16_fast"):
+            import jax.numpy as jnp
+
+            from multimodal_content_moderation_tpu.models.convert import to_dtype
+
+            self.model = model_io.with_performance_options(
+                self.model,
+                compute_dtype="bfloat16",
+                scores_dtype="bfloat16" if precision == "bf16_fast" else None,
+            )
+            self.params = to_dtype(self.params, jnp.bfloat16)
         self.class_names: List[str] = self.config.get("class_names", ["harmful"])
         self.thresholds: List[float] = self.config.get(
             "thresholds", [0.5] * len(self.class_names)
@@ -177,6 +189,9 @@ def parse_args(argv=None):
     parser.add_argument("--output_csv", type=str, default=None)
     parser.add_argument("--image_root", type=str, default="")
     parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument(
+        "--precision", choices=["fp32", "bf16", "bf16_fast"], default="fp32"
+    )
     return parser.parse_args(argv)
 
 
@@ -184,7 +199,8 @@ def main(argv=None):
     args = parse_args(argv)
     print(f"Loading model from: {args.checkpoint}")
     classifier = MultiModalClassifier(
-        args.checkpoint, args.encoder_dir, batch_size=args.batch_size
+        args.checkpoint, args.encoder_dir, batch_size=args.batch_size,
+        precision=args.precision,
     )
     print(f"Classes: {classifier.class_names}")
 

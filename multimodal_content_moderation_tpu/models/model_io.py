@@ -190,6 +190,44 @@ def init_from_encoder_dir(
     return params
 
 
+def with_performance_options(
+    model,
+    compute_dtype: Optional[str] = None,
+    scores_dtype: Optional[str] = None,
+    attention_impl: Optional[str] = None,
+):
+    """Return a copy of a (frozen) model with tower performance knobs set.
+
+    ``compute_dtype="bfloat16"`` = mixed precision; ``scores_dtype="bfloat16"``
+    = bf16 attention scores (+17% eval on v5e, parity-impacting — opt-in)."""
+    import dataclasses
+
+    overrides = {}
+    if compute_dtype is not None:
+        overrides["compute_dtype"] = compute_dtype
+    if scores_dtype is not None:
+        overrides["scores_dtype"] = scores_dtype
+    if attention_impl is not None:
+        overrides["attention_impl"] = attention_impl
+    if not overrides:
+        return model
+    if model.backend == "clip":
+        cfg = model.clip_config
+        new_cfg = dataclasses.replace(
+            cfg,
+            text=dataclasses.replace(cfg.text, **overrides),
+            vision=dataclasses.replace(cfg.vision, **overrides),
+        )
+        return dataclasses.replace(model, clip_config=new_cfg)
+    cfg = model.siglip_config
+    new_cfg = dataclasses.replace(
+        cfg,
+        text=dataclasses.replace(cfg.text, **overrides),
+        vision=dataclasses.replace(cfg.vision, **overrides),
+    )
+    return dataclasses.replace(model, siglip_config=new_cfg)
+
+
 def find_inference_config(checkpoint_dir: str) -> Tuple[Dict[str, Any], str]:
     """Locate inference_config.json in {parent, dir} (scripts/evaluate.py:
     95-105 search order). Returns (config, path)."""

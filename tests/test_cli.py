@@ -183,3 +183,20 @@ def test_prepare_data_mmhs150k_quirk(tmp_path):
     assert df.iloc[2]["labels"] == "sexist,otherhate"
     names = (out / "class_names.txt").read_text().split()
     assert names == ["racist", "sexist", "homophobe", "religion", "otherhate"]
+
+
+def test_inference_bf16_precision_close_to_fp32(trained_run, data_dir):
+    """precision='bf16_fast' serving stays close to the fp32 path."""
+    from multimodal_content_moderation_tpu.cli.inference import MultiModalClassifier
+
+    _, result = trained_run
+    ckpt = result["result"]["best_checkpoint"]
+    clf32 = MultiModalClassifier(ckpt, batch_size=4)
+    clf16 = MultiModalClassifier(ckpt, batch_size=4, precision="bf16_fast")
+    img = os.path.join(data_dir, "images", "im0.png")
+    r32 = clf32.predict("hate hate hate", img)
+    r16 = clf16.predict("hate hate hate", img)
+    for name in r32["predictions"]:
+        assert r16["predictions"][name]["probability"] == pytest.approx(
+            r32["predictions"][name]["probability"], abs=0.03
+        )
