@@ -268,6 +268,11 @@ class Trainer:
         )
         metrics = self.compute_metrics((logits, labels))
         dt = time.time() - t0
+        # schema parity with the reference's trainer.evaluate output
+        # (runs/*/test_metrics.json carries test_loss/test_runtime/... keys)
+        from multimodal_content_moderation_tpu.ops.losses import bce_with_logits
+
+        metrics["loss"] = float(bce_with_logits(logits, labels))
         metrics["runtime"] = dt
         metrics["samples_per_second"] = len(dataset) / dt if dt > 0 else 0.0
         return metrics
@@ -329,7 +334,7 @@ class Trainer:
 
             metrics = self.evaluate()
             metrics["epoch"] = epoch + 1
-            metrics["loss"] = float(np.mean(losses)) if losses else float(loss)
+            metrics["train_loss"] = float(np.mean(losses)) if losses else float(loss)
             history.append(metrics)
             logger.info("epoch %d eval: %s", epoch + 1, metrics)
             if self.writer:
