@@ -39,6 +39,7 @@ class MultiModalClassifier:
         batch_size: int = 32,
         dtype=None,
         precision: str = "fp32",  # fp32 | bf16 | bf16_fast
+        engine: str = "standard",  # "standard" | "fast" (u8 wire + Pallas embed)
     ):
         import jax
 
@@ -76,7 +77,19 @@ class MultiModalClassifier:
         self.tokenizer = load_tokenizer(enc_dir)
         backend = self.config.get("backend", "clip")
         (H, W), mean, std = image_stats_from_dir(enc_dir, backend)
-        self.preproc = ImagePreprocessor(H, W, mean, std)
+
+        self.engine = None
+        if engine == "fast" and backend == "clip":
+            # u8 wire-format path: raw crops ship to the device, the Pallas
+            # folded-norm kernel embeds them (models/fast_infer.py)
+            from multimodal_content_moderation_tpu.models.fast_infer import (
+                FastInferenceEngine,
+            )
+
+            self.preproc = ImagePreprocessor(H, W, mean, std, output="uint8_hwc")
+            self.engine = FastInferenceEngine(self.model, self.params, mean, std)
+        else:
+            self.preproc = ImagePreprocessor(H, W, mean, std)
 
         model = self.model
         self._forward = jax.jit(lambda p, b: model.apply(p, b)["logits"])
@@ -116,7 +129,19 @@ class MultiModalClassifier:
                     )
                     for k, v in batch.items()
                 }
-            logits = np.asarray(self._forward(self.params, batch))
+            if self.engine is not None:
+                patches = self.engine.patches_from_hwc(batch["pixel_values"])
+                logits = np.asarray(
+                    self.engine(
+                        batch["input_ids"],
+                        batch["attention_mask"],
+                        patches,
+                        batch["text_present"],
+                        batch["image_present"],
+                    )
+                )
+            else:
+                logits = np.asarray(self._forward(self.params, batch))
             out[s : s + valid] = logits[:valid]
         return out
 

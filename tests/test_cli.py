@@ -200,3 +200,28 @@ def test_inference_bf16_precision_close_to_fp32(trained_run, data_dir):
         assert r16["predictions"][name]["probability"] == pytest.approx(
             r32["predictions"][name]["probability"], abs=0.03
         )
+
+
+def test_fast_engine_serving_equals_standard(trained_run, data_dir):
+    """MultiModalClassifier(engine='fast') — the u8 wire + Pallas embed
+    path — must match the standard pixel path, including the missing-image
+    degradation branch."""
+    from multimodal_content_moderation_tpu.cli.inference import MultiModalClassifier
+
+    _, result = trained_run
+    ckpt = result["result"]["best_checkpoint"]
+    std = MultiModalClassifier(ckpt, batch_size=4)
+    fast = MultiModalClassifier(ckpt, batch_size=4, engine="fast")
+    cases = [
+        ("hate hate hate", os.path.join(data_dir, "images", "im0.png")),
+        ("love love love", os.path.join(data_dir, "images", "im1.png")),
+        ("missing image case", "/nonexistent.png"),
+        ("", os.path.join(data_dir, "images", "im2.png")),
+    ]
+    for text, img in cases:
+        a = std.predict(text, img)
+        b = fast.predict(text, img)
+        for name in a["predictions"]:
+            assert b["predictions"][name]["probability"] == pytest.approx(
+                a["predictions"][name]["probability"], abs=1e-3
+            ), (text, img, name)
