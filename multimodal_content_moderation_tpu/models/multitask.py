@@ -93,19 +93,25 @@ def mtl_head_apply(
     )
 
     # Shared trunk: Dropout -> Linear -> GELU -> Dropout
-    rngs = (None, None) if dropout_rng is None else jax.random.split(dropout_rng, 2)
+    num_heads = len(params["heads"])
+    rngs = (
+        (None,) * (2 + num_heads)
+        if dropout_rng is None
+        else tuple(jax.random.split(dropout_rng, 2 + num_heads))
+    )
     y = dropout(fused, 0.2, rngs[0])
     y = gelu_exact(dense(y, params["shared_fc"]))
     shared = dropout(y, 0.2, rngs[1])
 
     logits = []
-    for head in params["heads"]:
+    for j, head in enumerate(params["heads"]):
         if "fc" in head:
             logit = dense(shared, head["fc"])
         else:
+            # hidden task head: Linear -> GELU -> Dropout(0.1) -> Linear
+            # (reference src/models/multitask.py:106-117)
             h = gelu_exact(dense(shared, head["fc1"]))
-            # Per-task Dropout(0.1) omitted at eval; training variant applies
-            # it via the trunk rng chain in MultiTaskModel.apply.
+            h = dropout(h, 0.1, rngs[2 + j])
             logit = dense(h, head["fc2"])
         logits.append(logit[:, 0])
     return jnp.stack(logits, axis=1)

@@ -157,6 +157,68 @@ def test_mtl_head_parity(hidden):
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
 
 
+def test_mtl_train_mode_applies_per_task_dropout():
+    """Train mode must apply Dropout(0.1) inside hidden task heads
+    (reference src/models/multitask.py:106-117); eval mode must not."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_content_moderation_tpu.ops.layers import (
+        dense,
+        dropout,
+        gelu_exact,
+    )
+
+    torch.manual_seed(3)
+    oracle = TorchMTLHead(64, 64, 32, 2, head_hidden_dim=16).eval()
+    params = mtl_head_from_torch(oracle.state_dict(), num_tasks=2)
+    t, v, tp, ip = _features(3)
+    rng = jax.random.key(7)
+
+    got = np.asarray(mtl_head_apply(params, t, v, tp, ip, dropout_rng=rng))
+
+    # Re-derive the exact expected logits with the same rng chain, including
+    # the per-task 0.1 dropout after the hidden GELU.
+    def manual(with_task_dropout: bool):
+        tfeat = jnp.asarray(t)
+        vfeat = jnp.asarray(v)
+        tpj = dense(tfeat, params["proj_t"])
+        vpj = dense(vfeat, params["proj_i"])
+        presence = jnp.stack([jnp.asarray(tp), jnp.asarray(ip)], axis=1)
+        zt = jnp.tanh(dense(tpj, params["g_t"]))
+        zi = jnp.tanh(dense(vpj, params["g_i"]))
+        g = jax.nn.sigmoid(
+            dense(jnp.concatenate([tpj, vpj, presence], axis=1), params["gate"])
+        )
+        fused = jnp.where(
+            (jnp.asarray(ip) < 0.5)[:, None],
+            zt,
+            jnp.where((jnp.asarray(tp) < 0.5)[:, None], zi, g * zt + (1 - g) * zi),
+        )
+        rngs = jax.random.split(rng, 2 + 2)
+        y = dropout(fused, 0.2, rngs[0])
+        y = gelu_exact(dense(y, params["shared_fc"]))
+        shared = dropout(y, 0.2, rngs[1])
+        logits = []
+        for j, head in enumerate(params["heads"]):
+            h = gelu_exact(dense(shared, head["fc1"]))
+            if with_task_dropout:
+                h = dropout(h, 0.1, rngs[2 + j])
+            logits.append(dense(h, head["fc2"])[:, 0])
+        return np.asarray(jnp.stack(logits, axis=1))
+
+    np.testing.assert_allclose(got, manual(with_task_dropout=True), atol=1e-6)
+    assert not np.allclose(got, manual(with_task_dropout=False))
+
+    # eval (rng=None) still matches the torch eval oracle exactly
+    with torch.no_grad():
+        ref = oracle(
+            torch.tensor(t), torch.tensor(v), torch.tensor(tp), torch.tensor(ip)
+        ).numpy()
+    got_eval = np.asarray(mtl_head_apply(params, t, v, tp, ip))
+    np.testing.assert_allclose(got_eval, ref, atol=2e-5, rtol=1e-4)
+
+
 def test_mtl_uncertainty_loss():
     g = np.random.default_rng(2)
     logits = g.normal(size=(8, 3)).astype(np.float32)
