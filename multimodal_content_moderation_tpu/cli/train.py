@@ -65,6 +65,9 @@ def parse_args(argv=None):
     parser.add_argument("--training.lr_head", dest="lr_head", type=float, default=None)
     parser.add_argument("--saving.output_dir", dest="output_dir", default=None)
     parser.add_argument("--seed", type=int, default=None)
+    # mesh shape: data axis (-1 = all remaining devices) x model axis (TP)
+    parser.add_argument("--parallel.data", dest="mesh_data", type=int, default=None)
+    parser.add_argument("--parallel.model", dest="mesh_model", type=int, default=None)
     return parser.parse_args(argv)
 
 
@@ -85,6 +88,8 @@ def override_config(config: Dict[str, Any], args) -> Dict[str, Any]:
         ("training", "lr_encoder"): args.lr_encoder,
         ("training", "lr_head"): args.lr_head,
         ("saving", "output_dir"): args.output_dir,
+        ("parallel", "data"): args.mesh_data,
+        ("parallel", "model"): args.mesh_model,
     }
     for (section, key), value in overrides.items():
         if value is not None:
@@ -230,8 +235,14 @@ def main(argv=None) -> Dict[str, Any]:
         resume_from_checkpoint=train_cfg.get("resume_from_checkpoint", "") or "",
     )
 
+    par_cfg = config.get("parallel", {})
+    mesh = build_mesh(
+        num_data=par_cfg.get("data", -1) or -1,
+        num_model=par_cfg.get("model", 1) or 1,
+    )
+    logger.info("mesh: data=%d model=%d", *mesh.devices.shape)
     trainer = Trainer(
-        model, params, targs, train_ds, val_ds, compute_metrics, mesh=build_mesh()
+        model, params, targs, train_ds, val_ds, compute_metrics, mesh=mesh
     )
     logger.info("starting training (%d total steps)", trainer.total_steps)
     result = trainer.train()

@@ -54,6 +54,12 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     this collapses to a plain ``device_put``: GSPMD-annotated arrays take a
     pathologically slow path on some backends (measured 130x on the tunneled
     axon chip) and carry no information when there is nothing to shard.
+
+    Multi-host (``jax.process_count() > 1``): ``batch`` is this process's
+    *local* slice of the global batch; ``make_array_from_process_local_data``
+    assembles the global jax.Array from the per-host shards without any
+    cross-host data movement (each host's rows land on its own devices; the
+    global batch size is ``local_batch * num_processes``).
     """
     if mesh.devices.size == 1:
         dev = mesh.devices.reshape(-1)[0]
@@ -61,10 +67,15 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
     data = batch_sharding(mesh)
     repl = replicated_sharding(mesh)
+    multihost = jax.process_count() > 1
 
     def place(x):
         x = np.asarray(x)
-        return jax.device_put(x, data if x.ndim >= 1 else repl)
+        if x.ndim < 1:
+            return jax.device_put(x, repl)
+        if multihost:
+            return jax.make_array_from_process_local_data(data, x)
+        return jax.device_put(x, data)
 
     return {k: place(v) for k, v in batch.items()}
 
@@ -78,6 +89,29 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
         return jax.device_put(tree, dev)
     repl = replicated_sharding(mesh)
     return jax.device_put(tree, repl)
+
+
+def place_like(tree: Any, template: Any, mesh: Mesh) -> Any:
+    """Re-place ``tree`` with the shardings of ``template`` (same structure).
+
+    Used when restoring train state: Orbax restores to host/single-device
+    arrays; this puts every leaf back on the mesh exactly where its live
+    counterpart was (replicated or model-sharded). Template leaves that are
+    not mesh-placed (e.g. optax step counters, which ``tx.init`` creates as
+    plain single-device scalars) are replicated — committing them to one
+    device would make the jitted step reject the mixed placement."""
+    if mesh.devices.size == 1:
+        dev = mesh.devices.reshape(-1)[0]
+        return jax.device_put(tree, dev)
+    repl = replicated_sharding(mesh)
+
+    def place(x, t):
+        s = getattr(t, "sharding", None)
+        if isinstance(s, NamedSharding) and s.mesh == mesh:
+            return jax.device_put(x, s)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(place, tree, template)
 
 
 def init_distributed(

@@ -25,7 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from multimodal_content_moderation_tpu.parallel.mesh import build_mesh, replicate
+from multimodal_content_moderation_tpu.parallel.mesh import (
+    build_mesh,
+    place_like,
+    replicate,
+)
+from multimodal_content_moderation_tpu.parallel.sharding import shard_params
 from multimodal_content_moderation_tpu.training import checkpoints as ckpt_lib
 from multimodal_content_moderation_tpu.training.optim import build_optimizer
 from multimodal_content_moderation_tpu.training.sampling import (
@@ -194,7 +199,11 @@ class Trainer:
         )
         if accum > 1:
             self.tx = optax.MultiSteps(self.tx, every_k_schedule=accum)
-        self.params = replicate(params, self.mesh)
+        # Tensor parallelism: params placed by the semantic sharding rules
+        # (parallel/sharding.py). With a model axis of 1 this is replication.
+        self.params = shard_params(params, self.mesh)
+        # optax init builds moments via zeros_like, which inherits each
+        # param leaf's sharding — the optimizer state is TP-sharded too.
         self.opt_state = self.tx.init(self.params)
         self.rng = jax.random.key(args.seed)
 
@@ -233,12 +242,14 @@ class Trainer:
         )
         if not path:
             return
+        p_tpl, o_tpl = self.params, self.opt_state
         self.params, self.opt_state, self.rng, meta = ckpt_lib.restore_train_state(
             path, self.params, self.opt_state, self.rng
         )
-        # Orbax restores to single-device arrays; re-place on the mesh.
-        self.params = replicate(self.params, self.mesh)
-        self.opt_state = replicate(self.opt_state, self.mesh)
+        # Orbax restores to single-device arrays; re-place on the mesh with
+        # the shardings the live state had (replicated or TP-sharded).
+        self.params = place_like(self.params, p_tpl, self.mesh)
+        self.opt_state = place_like(self.opt_state, o_tpl, self.mesh)
         self.rng = replicate(self.rng, self.mesh)
         self.start_epoch = int(meta.get("epoch", 0))
         self._start_step = int(meta.get("step", 0))
@@ -383,7 +394,12 @@ class Trainer:
                 break
 
         if args.load_best_model_at_end and self.best_checkpoint:
-            self.params = ckpt_lib.restore_checkpoint(self.best_checkpoint, self.params)
+            p_tpl = self.params
+            self.params = place_like(
+                ckpt_lib.restore_checkpoint(self.best_checkpoint, self.params),
+                p_tpl,
+                self.mesh,
+            )
 
         return {
             "history": history,

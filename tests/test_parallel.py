@@ -1,0 +1,179 @@
+"""Parallelism correctness on the virtual 8-device CPU mesh.
+
+The strongest cheap checks for collective correctness (VERDICT r1 #3/#4):
+- an 8-device data-parallel train step must equal the 1-device step on the
+  same global batch (loss and updated params),
+- a (4 data x 2 model) tensor-parallel run must equal the pure-DP run,
+- the semantic sharding rules must put Megatron-style specs on the
+  transformer blocks, and
+- the multi-host global-batch assembly path must agree with device_put.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from multimodal_content_moderation_tpu.models import CLIPConfig, FusionModel
+from multimodal_content_moderation_tpu.models.clip import (
+    CLIPTextConfig,
+    CLIPVisionConfig,
+)
+from multimodal_content_moderation_tpu.parallel.mesh import (
+    batch_sharding,
+    build_mesh,
+    shard_batch,
+)
+from multimodal_content_moderation_tpu.parallel.sharding import (
+    param_shardings,
+    shard_params,
+)
+from multimodal_content_moderation_tpu.training.loop import make_train_step
+from multimodal_content_moderation_tpu.training.optim import build_optimizer
+
+EOS = 63
+
+
+def tiny_model():
+    cfg = CLIPConfig(
+        text=CLIPTextConfig(
+            vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, max_positions=16, eos_token_id=EOS,
+        ),
+        vision=CLIPVisionConfig(
+            hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,
+            image_size=16, patch_size=8,
+        ),
+        projection_dim=32,
+    )
+    return FusionModel.create("clip", num_labels=3, fusion_dim=16, clip_config=cfg)
+
+
+def make_batch(seed=0, B=16, T=16):
+    g = np.random.default_rng(seed)
+    ids = g.integers(1, 60, (B, T)).astype(np.int32)
+    ids[:, -1] = EOS
+    return {
+        "input_ids": ids,
+        "attention_mask": np.ones((B, T), np.int32),
+        "pixel_values": g.normal(size=(B, 3, 16, 16)).astype(np.float32),
+        "text_present": np.ones((B,), np.float32),
+        "image_present": np.ones((B,), np.float32),
+        "labels": (g.random((B, 3)) < 0.4).astype(np.float32),
+    }
+
+
+def run_steps(model, host_params, mesh, n_steps=3, seed=0):
+    """Place params on `mesh`, run n train steps on identical global batches,
+    return (losses, final host params)."""
+    tx = build_optimizer(host_params, lr_encoder=1e-3, lr_head=1e-2, total_steps=n_steps)
+    params = shard_params(jax.tree_util.tree_map(jnp.asarray, host_params), mesh)
+    opt_state = tx.init(params)
+    rng = jax.random.key(seed)
+    step_fn = make_train_step(model, tx)
+    losses = []
+    for i in range(n_steps):
+        batch = shard_batch(make_batch(seed=100 + i), mesh)
+        params, opt_state, rng, loss = step_fn(params, opt_state, rng, batch)
+        losses.append(float(loss))
+    return losses, jax.device_get(params)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = tiny_model()
+    params = jax.device_get(model.init(jax.random.key(0)))
+    return model, params
+
+
+def _assert_trees_close(a, b, atol=2e-5, rtol=2e-4):
+    flat_a = jax.tree_util.tree_leaves_with_path(a)
+    flat_b = {
+        jax.tree_util.keystr(p): l for p, l in jax.tree_util.tree_leaves_with_path(b)
+    }
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(leaf),
+            np.asarray(flat_b[jax.tree_util.keystr(path)]),
+            atol=atol,
+            rtol=rtol,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_dp_equivalence_8dev_vs_1dev(model_and_params):
+    model, params = model_and_params
+    mesh1 = build_mesh(1, 1, devices=jax.devices()[:1])
+    mesh8 = build_mesh()  # 8 x 1
+    losses1, params1 = run_steps(model, params, mesh1)
+    losses8, params8 = run_steps(model, params, mesh8)
+    np.testing.assert_allclose(losses1, losses8, atol=1e-5, rtol=1e-5)
+    _assert_trees_close(params1, params8)
+
+
+def test_tp_equivalence_4x2_vs_8x1(model_and_params):
+    model, params = model_and_params
+    mesh_dp = build_mesh()  # 8 x 1
+    mesh_tp = build_mesh(4, 2)  # 4 data x 2 model
+    losses_dp, params_dp = run_steps(model, params, mesh_dp)
+    losses_tp, params_tp = run_steps(model, params, mesh_tp)
+    np.testing.assert_allclose(losses_dp, losses_tp, atol=1e-5, rtol=1e-5)
+    _assert_trees_close(params_dp, params_tp)
+
+
+def test_tp_params_actually_sharded(model_and_params):
+    model, params = model_and_params
+    mesh = build_mesh(4, 2)
+    placed = shard_params(jax.tree_util.tree_map(jnp.asarray, params), mesh)
+    blk = placed["backbone"]["text_model"]["layers"][0]
+    assert blk["attn"]["q"]["w"].sharding.spec == P(None, "model")
+    assert blk["attn"]["o"]["w"].sharding.spec == P("model", None)
+    assert blk["fc1"]["w"].sharding.spec == P(None, "model")
+    assert blk["fc1"]["b"].sharding.spec == P("model")
+    assert blk["fc2"]["w"].sharding.spec == P("model", None)
+    assert blk["fc2"]["b"].sharding.spec == P()
+    tm = placed["backbone"]["text_model"]
+    assert tm["token_embedding"].sharding.spec == P("model", None)
+    assert tm["final_ln"]["scale"].sharding.spec == P()
+    # TP state must survive a train step (donation keeps placement)
+    tx = build_optimizer(params, total_steps=1)
+    opt_state = tx.init(placed)
+    step_fn = make_train_step(model, tx)
+    out_params, _, _, loss = step_fn(
+        placed, opt_state, jax.random.key(0), shard_batch(make_batch(), mesh)
+    )
+    assert np.isfinite(float(loss))
+    q = out_params["backbone"]["text_model"]["layers"][0]["attn"]["q"]["w"]
+    assert q.sharding.spec == P(None, "model")
+
+
+def test_semantic_rules_fall_back_on_indivisible_axes():
+    mesh = build_mesh(4, 2)
+    # hidden 31 is not divisible by model=2 -> every rule must replicate
+    params = {
+        "backbone": {
+            "text_model": {
+                "layers": [
+                    {"attn": {"q": {"w": jnp.zeros((31, 31)), "b": jnp.zeros((31,))}}}
+                ]
+            }
+        }
+    }
+    sh = param_shardings(params, mesh)
+    blk = sh["backbone"]["text_model"]["layers"][0]["attn"]["q"]
+    assert blk["w"].spec == P()
+    assert blk["b"].spec == P()
+
+
+def test_multihost_assembly_matches_device_put():
+    """Single-process make_array_from_process_local_data must equal the
+    device_put path (the multi-host branch of shard_batch uses it)."""
+    mesh = build_mesh()
+    x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    sharding = batch_sharding(mesh)
+    a = jax.make_array_from_process_local_data(sharding, x)
+    b = jax.device_put(x, sharding)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert a.sharding.spec == b.sharding.spec
