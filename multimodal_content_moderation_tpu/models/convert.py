@@ -29,10 +29,14 @@ from multimodal_content_moderation_tpu.models.siglip import SigLIPConfig
 
 
 def _np(x) -> np.ndarray:
-    """torch tensor or ndarray -> float32/rank-preserving ndarray."""
+    """torch tensor or ndarray -> owned ndarray.
+
+    Must COPY: ``tensor.numpy()`` aliases the tensor's storage, so without a
+    copy any later in-place torch update (e.g. ``optimizer.step()`` on the
+    source model) would silently mutate the converted pytree."""
     if hasattr(x, "detach"):
         x = x.detach().cpu().numpy()
-    return np.asarray(x)
+    return np.array(x)
 
 
 def _linear(sd: Dict, name: str, bias: bool = True) -> dict:

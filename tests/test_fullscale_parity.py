@@ -1,0 +1,220 @@
+"""Full-scale forward parity + backward/trajectory parity vs torch oracles.
+
+Round-1 parity used 1-2 layer toy configs and the forward pass only; this
+file proves the two missing pillars (VERDICT r1 #1):
+
+- logit/feature parity at the REAL flagship scale — a full-size
+  ``transformers.CLIPModel`` (ViT-B/32: 12+12 layers, d=512/768), built
+  offline from the default config, with the measured atol recorded against
+  the 1e-3 BASELINE target;
+- gradient parity (dL/dtheta leafwise vs torch autograd, mapped through the
+  same weight converter) and a 5-step AdamW training-trajectory parity
+  (identical init + data, dropout off, per-step losses compared).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import torch.nn.functional as F
+
+from multimodal_content_moderation_tpu.models import (
+    CLIPConfig,
+    FusionModel,
+    clip_image_features,
+    clip_text_features,
+)
+from multimodal_content_moderation_tpu.models.convert import (
+    clip_params_from_torch,
+    fusion_model_from_torch,
+)
+from test_head_parity import TINY_TEXT, TINY_VISION, TorchFullFusion
+
+
+def _inputs(seed, B, T, vocab, eos, image_size):
+    g = np.random.default_rng(seed)
+    ids = g.integers(1, vocab - 10, size=(B, T)).astype(np.int64)
+    mask = np.ones((B, T), dtype=np.int64)
+    for b in range(B):
+        pos = T // 2 + 3 * b
+        ids[b, pos] = eos
+        ids[b, pos + 1 :] = 0
+        mask[b, pos + 1 :] = 0
+    px = g.normal(size=(B, 3, image_size, image_size)).astype(np.float32)
+    return ids, mask, px
+
+
+@pytest.mark.slow
+def test_fullsize_vitb32_parity():
+    """12-layer ViT-B/32 CLIP: text/image features and full fusion logits vs
+    a full-size random-init torch CLIPModel. Records the achieved atol."""
+    torch.manual_seed(0)
+    hf_cfg = transformers.CLIPConfig()  # openai/clip-vit-base-patch32 shape
+    oracle = TorchFullFusion(hf_cfg, num_labels=5, fusion_dim=512).eval()
+    cfg = CLIPConfig.from_hf(hf_cfg)
+    params = fusion_model_from_torch(oracle.state_dict(), "clip", clip_cfg=cfg)
+    model = FusionModel.create("clip", num_labels=5, fusion_dim=512, clip_config=cfg)
+
+    B = 4
+    ids, mask, px = _inputs(
+        0, B, hf_cfg.text_config.max_position_embeddings,
+        hf_cfg.text_config.vocab_size, hf_cfg.text_config.eos_token_id,
+        hf_cfg.vision_config.image_size,
+    )
+    tp = np.array([1.0, 0.0, 1.0, 1.0], dtype=np.float32)
+    ip = np.array([1.0, 1.0, 0.0, 1.0], dtype=np.float32)
+
+    with torch.no_grad():
+        ref_t = oracle.backbone.get_text_features(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).numpy()
+        ref_v = oracle.backbone.get_image_features(torch.tensor(px)).numpy()
+        ref_logits = oracle(
+            torch.tensor(ids), torch.tensor(mask), torch.tensor(px),
+            torch.tensor(tp), torch.tensor(ip),
+        ).numpy()
+
+    bp = params["backbone"]
+    got_t = np.asarray(clip_text_features(bp, ids, mask, cfg))
+    got_v = np.asarray(clip_image_features(bp, px, cfg))
+    batch = {
+        "input_ids": ids, "attention_mask": mask, "pixel_values": px,
+        "text_present": tp, "image_present": ip,
+    }
+    got_logits = np.asarray(model.apply(params, batch)["logits"])
+
+    atol_t = float(np.max(np.abs(got_t - ref_t)))
+    atol_v = float(np.max(np.abs(got_v - ref_v)))
+    atol_l = float(np.max(np.abs(got_logits - ref_logits)))
+    print(
+        f"\nfull-scale ViT-B/32 parity: text atol={atol_t:.2e} "
+        f"image atol={atol_v:.2e} logits atol={atol_l:.2e} (target 1e-3)"
+    )
+    # BASELINE target is 1e-3 on logits; features get the same bound.
+    assert atol_t < 1e-3
+    assert atol_v < 1e-3
+    assert atol_l < 1e-3
+
+
+def _tiny_pair(num_labels=3, fusion_dim=32):
+    torch.manual_seed(5)
+    hf_cfg = transformers.CLIPConfig(
+        text_config=dict(TINY_TEXT), vision_config=dict(TINY_VISION),
+        projection_dim=32,
+    )
+    oracle = TorchFullFusion(hf_cfg, num_labels=num_labels, fusion_dim=fusion_dim)
+    oracle.eval()  # dropout off; grads still flow
+    cfg = CLIPConfig.from_hf(hf_cfg)
+    params = fusion_model_from_torch(oracle.state_dict(), "clip", clip_cfg=cfg)
+    model = FusionModel.create(
+        "clip", num_labels=num_labels, fusion_dim=fusion_dim, clip_config=cfg
+    )
+    B = 4
+    ids, mask, px = _inputs(7, B, 77, 900, 999, 32)
+    tp = np.ones((B,), np.float32)
+    ip = np.ones((B,), np.float32)
+    labels = (np.random.default_rng(8).random((B, num_labels)) < 0.4).astype(
+        np.float32
+    )
+    batch = {
+        "input_ids": ids, "attention_mask": mask, "pixel_values": px,
+        "text_present": tp, "image_present": ip, "labels": labels,
+    }
+    return oracle, model, params, cfg, batch
+
+
+def _torch_loss(oracle, batch):
+    logits = oracle(
+        torch.tensor(batch["input_ids"]),
+        torch.tensor(batch["attention_mask"]),
+        torch.tensor(batch["pixel_values"]),
+        torch.tensor(batch["text_present"]),
+        torch.tensor(batch["image_present"]),
+    )
+    return F.binary_cross_entropy_with_logits(logits, torch.tensor(batch["labels"]))
+
+
+def test_gradient_parity_vs_torch():
+    """dL/dtheta leafwise vs torch autograd: torch grads are mapped through
+    the SAME (linear) weight converter, so every leaf lines up by name."""
+    oracle, model, params, cfg, batch = _tiny_pair()
+
+    loss_t = _torch_loss(oracle, batch)
+    loss_t.backward()
+    grad_sd = {
+        name: (p.grad if p.grad is not None else torch.zeros_like(p))
+        for name, p in oracle.named_parameters()
+    }
+    ref_grads = fusion_model_from_torch(grad_sd, "clip", clip_cfg=cfg)
+    # the converter injects a fresh logit_scale scalar when absent from the
+    # state dict; it is not a gradient — drop it on both sides
+    ref_grads["backbone"].pop("logit_scale", None)
+
+    loss_j, grads = jax.value_and_grad(
+        lambda p: model.apply(p, batch)["loss"]
+    )(params)
+    grads["backbone"].pop("logit_scale", None)
+
+    assert abs(float(loss_j) - float(loss_t)) < 1e-6
+
+    ref_flat = {
+        jax.tree_util.keystr(p): l
+        for p, l in jax.tree_util.tree_leaves_with_path(ref_grads)
+    }
+    worst = 0.0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
+        key = jax.tree_util.keystr(path)
+        ref = np.asarray(ref_flat[key])
+        got = np.asarray(leaf)
+        np.testing.assert_allclose(got, ref, atol=3e-6, rtol=1e-4, err_msg=key)
+        worst = max(worst, float(np.max(np.abs(got - ref))))
+    print(f"\ngradient parity: worst leaf atol={worst:.2e}")
+
+
+@pytest.mark.slow
+def test_training_trajectory_parity_vs_torch():
+    """5 AdamW steps (lr=1e-3, wd=0.01), identical init + data, dropout off:
+    per-step losses must track torch within 2e-5."""
+    import optax
+
+    oracle, model, params, cfg, batch = _tiny_pair()
+    opt_t = torch.optim.AdamW(oracle.parameters(), lr=1e-3, weight_decay=0.01)
+
+    tx = optax.adamw(1e-3, weight_decay=0.01)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(
+            lambda p: model.apply(p, batch)["loss"]
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses_t, losses_j = [], []
+    g = np.random.default_rng(11)
+    for i in range(5):
+        # vary the batch each step so the trajectory exercises fresh data
+        b = dict(batch)
+        b["pixel_values"] = batch["pixel_values"] + 0.01 * g.normal(
+            size=batch["pixel_values"].shape
+        ).astype(np.float32)
+
+        opt_t.zero_grad()
+        lt = _torch_loss(oracle, b)
+        lt.backward()
+        opt_t.step()
+        losses_t.append(float(lt))
+
+        params, opt_state, lj = step(params, opt_state, b)
+        losses_j.append(float(lj))
+
+    print(f"\ntrajectory torch={losses_t}\n           jax ={losses_j}")
+    np.testing.assert_allclose(losses_j, losses_t, atol=2e-5, rtol=1e-5)
+    # losses must also actually decrease (the optimizer is doing work)
+    assert losses_t[-1] < losses_t[0]
