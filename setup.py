@@ -34,6 +34,7 @@ setup(
             "mmharm-evaluate=multimodal_content_moderation_tpu.cli.evaluate:main",
             "mmharm-infer=multimodal_content_moderation_tpu.cli.inference:main",
             "mmharm-prepare-data=multimodal_content_moderation_tpu.cli.prepare_data:main",
+            "mmharm-deploy=multimodal_content_moderation_tpu.serving.deploy:main",
         ]
     },
 )
