@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import time
 
 import numpy as np
@@ -34,6 +35,100 @@ BATCH = 192
 SEQ = 77
 N_STAGED = 4  # distinct staged batches rotated through the run
 PASSES = 3
+
+# end-to-end slice: CSV -> JPEG decode -> resize/crop -> u8 wire -> device,
+# the reference's measurement boundary (its 400.9/s includes the DataLoader,
+# scripts/evaluate.py:163-183). Kept smaller than the device-path run because
+# this host has ONE CPU core for decode (real TPU hosts have dozens).
+E2E_IMAGES = 192  # distinct JPEGs on disk
+E2E_ROWS = 1536
+
+
+def bench_e2e(engine) -> dict:
+    """Full-pipeline throughput on MMHS-shaped data: every row is read from
+    a CSV, its JPEG decoded + shortest-edge-resized + center-cropped on the
+    host, shipped as u8 patch rows, and classified on the chip."""
+    import tempfile
+
+    from PIL import Image
+
+    from multimodal_content_moderation_tpu.data.dataset import CSVDataset
+    from multimodal_content_moderation_tpu.data.images import (
+        CLIP_MEAN,
+        CLIP_STD,
+        ImagePreprocessor,
+    )
+    from multimodal_content_moderation_tpu.data.tokenizer import (
+        bytes_to_unicode,
+        load_tokenizer,
+    )
+    from multimodal_content_moderation_tpu.models.fast_infer import (
+        evaluate_logits_u8,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    # byte-level BPE assets (real tokenizer machinery; merges don't change
+    # the per-row cost profile for tweet-length text)
+    b2u = bytes_to_unicode()
+    vocab = {}
+    for ch in b2u.values():
+        vocab[ch] = len(vocab)
+    for ch in b2u.values():
+        vocab[ch + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    with open(os.path.join(tmp, "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(tmp, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+    tokenizer = load_tokenizer(tmp)
+
+    # MMHS-shaped JPEGs: smooth structure + noise (natural-image-ish entropy)
+    g = np.random.default_rng(0)
+    img_dir = os.path.join(tmp, "img")
+    os.mkdir(img_dir)
+    yy, xx = np.mgrid[0:400, 0:500].astype(np.float32)
+    for i in range(E2E_IMAGES):
+        base = (
+            127
+            + 80 * np.sin(xx / (20 + i % 13))[..., None]
+            + 40 * np.cos(yy / (15 + i % 7))[..., None]
+        )
+        arr = np.clip(
+            base + g.normal(0, 18, size=(400, 500, 3)), 0, 255
+        ).astype(np.uint8)
+        Image.fromarray(arr).save(
+            os.path.join(img_dir, f"{i}.jpg"), quality=85
+        )
+
+    rows = ["text,image_path,labels"]
+    for r in range(E2E_ROWS):
+        rows.append(
+            f"offensive tweet number {r} with several words,"
+            f"{r % E2E_IMAGES}.jpg,racist"
+        )
+    csv_path = os.path.join(tmp, "test.csv")
+    with open(csv_path, "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+    t0 = time.perf_counter()
+    ds = CSVDataset(
+        csv_path,
+        img_dir,
+        tokenizer,
+        ImagePreprocessor(224, 224, CLIP_MEAN, CLIP_STD, output="uint8_hwc"),
+        SEQ,
+        class_names=["racist", "sexist", "homophobe", "religion", "otherhate"],
+    )
+    logits, _ = evaluate_logits_u8(engine, ds, BATCH)
+    _ = float(logits[-1, 0])  # value fetch = true barrier
+    dt = time.perf_counter() - t0
+    return {
+        "e2e_samples_per_s": round(E2E_ROWS / dt, 1),
+        "e2e_rows": E2E_ROWS,
+        "e2e_host_cpus": os.cpu_count(),
+        "e2e_vs_baseline": round(E2E_ROWS / dt / 400.9, 2),
+    }
 
 
 def main() -> None:
@@ -111,16 +206,16 @@ def main() -> None:
         dt = time.perf_counter() - t0
         best = max(best, N_SAMPLES / dt)
 
-    print(
-        json.dumps(
-            {
-                "metric": "mmhs150k_eval_samples_per_sec_per_chip",
-                "value": round(best, 1),
-                "unit": "samples/s",
-                "vs_baseline": round(best / BASELINE_SAMPLES_PER_SEC, 2),
-            }
-        )
-    )
+    result = {
+        "metric": "mmhs150k_eval_samples_per_sec_per_chip",
+        "value": round(best, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(best / BASELINE_SAMPLES_PER_SEC, 2),
+    }
+    if os.environ.get("BENCH_E2E", "1") != "0":
+        # honest full-pipeline number (decode included, like the reference's)
+        result.update(bench_e2e(engine))
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -51,9 +51,14 @@ def image_stats_from_dir(
 
 
 def build_preprocessors(
-    model_cfg: Dict[str, Any], aug_cfg: Dict[str, Any]
+    model_cfg: Dict[str, Any],
+    aug_cfg: Dict[str, Any],
+    train_output: str = "float_nchw",
 ) -> Tuple[ImagePreprocessor, ImagePreprocessor]:
-    """(train_preproc, eval_preproc) from the config sections."""
+    """(train_preproc, eval_preproc) from the config sections.
+
+    ``train_output="uint8_hwc"`` selects the u8 wire format for training
+    (normalization folds into the patch embed on device — models/u8wire.py)."""
     backend = model_cfg.get("backend", "clip")
     enc_dir = resolve_encoder_dir(model_cfg)
     (H, W), mean, std = image_stats_from_dir(enc_dir, backend)
@@ -68,6 +73,7 @@ def build_preprocessors(
             aug_cfg.get("aug_scale_min", 0.8),
             aug_cfg.get("aug_scale_max", 1.0),
         ),
+        output=train_output,
     )
     eval_pp = ImagePreprocessor(H, W, mean, std)
     return train_pp, eval_pp

@@ -37,6 +37,13 @@ def parse_args(argv=None):
         help="fp32 = strict parity; bf16 = mixed precision; bf16_fast adds "
         "bf16 attention scores (fastest, small logit rounding)",
     )
+    parser.add_argument(
+        "--engine",
+        choices=["standard", "fast"],
+        default="standard",
+        help="fast = uint8 wire format + Pallas fused patch embed (the "
+        "production serving path; combine with --precision bf16_fast)",
+    )
     return parser.parse_args(argv)
 
 
@@ -75,25 +82,40 @@ def main(argv=None):
     enc_dir = args.encoder_dir or config.get("encoder_dir") or args.checkpoint
     tokenizer = load_tokenizer(enc_dir)
     (H, W), mean, std = image_stats_from_dir(enc_dir, config.get("backend", "clip"))
+    preproc = ImagePreprocessor(
+        H, W, mean, std,
+        output="uint8_hwc" if args.engine == "fast" else "float_nchw",
+    )
     test_ds = CSVDataset(
         args.test_csv,
         args.image_root,
         tokenizer,
-        ImagePreprocessor(H, W, mean, std),
+        preproc,
         min(int(config.get("max_text_length", 77)), model.text_max_positions),
         class_names=class_names if len(class_names) > 1 else None,
     )
     print(f"Test samples: {len(test_ds)}")
 
-    mesh = build_mesh()
-    params = replicate(params, mesh)
     import time
 
-    t0 = time.time()
-    logits, labels = evaluate_logits(
-        make_eval_step(model), params, test_ds, args.batch_size, mesh
-    )
-    dt = time.time() - t0
+    if args.engine == "fast":
+        from multimodal_content_moderation_tpu.models.fast_infer import (
+            FastInferenceEngine,
+            evaluate_logits_u8,
+        )
+
+        engine = FastInferenceEngine(model, params, mean, std)
+        t0 = time.time()
+        logits, labels = evaluate_logits_u8(engine, test_ds, args.batch_size)
+        dt = time.time() - t0
+    else:
+        mesh = build_mesh()
+        params = replicate(params, mesh)
+        t0 = time.time()
+        logits, labels = evaluate_logits(
+            make_eval_step(model), params, test_ds, args.batch_size, mesh
+        )
+        dt = time.time() - t0
     probs = 1 / (1 + np.exp(-logits))
 
     mean_threshold = float(np.mean(thresholds))

@@ -79,9 +79,10 @@ class MultiModalClassifier:
         (H, W), mean, std = image_stats_from_dir(enc_dir, backend)
 
         self.engine = None
-        if engine == "fast" and backend == "clip":
+        if engine == "fast":
             # u8 wire-format path: raw crops ship to the device, the Pallas
-            # folded-norm kernel embeds them (models/fast_infer.py)
+            # folded-norm kernel embeds them (models/fast_infer.py; supports
+            # every backend x head combination)
             from multimodal_content_moderation_tpu.models.fast_infer import (
                 FastInferenceEngine,
             )
@@ -217,6 +218,12 @@ def parse_args(argv=None):
     parser.add_argument(
         "--precision", choices=["fp32", "bf16", "bf16_fast"], default="fp32"
     )
+    parser.add_argument(
+        "--engine",
+        choices=["standard", "fast"],
+        default="standard",
+        help="fast = uint8 wire format + Pallas fused patch embed",
+    )
     return parser.parse_args(argv)
 
 
@@ -225,7 +232,7 @@ def main(argv=None):
     print(f"Loading model from: {args.checkpoint}")
     classifier = MultiModalClassifier(
         args.checkpoint, args.encoder_dir, batch_size=args.batch_size,
-        precision=args.precision,
+        precision=args.precision, engine=args.engine,
     )
     print(f"Classes: {classifier.class_names}")
 

@@ -134,7 +134,11 @@ def main(argv=None) -> Dict[str, Any]:
 
     # ---- assets & data -----------------------------------------------------
     tokenizer = build_tokenizer(model_cfg)
-    train_pp, eval_pp = build_preprocessors(model_cfg, aug_cfg)
+    wire = train_cfg.get("wire", "f32") or "f32"
+    train_pp, eval_pp = build_preprocessors(
+        model_cfg, aug_cfg,
+        train_output="uint8_hwc" if wire == "u8" else "float_nchw",
+    )
 
     class_names = data_cfg.get("class_names", []) or []
     if isinstance(class_names, str):
@@ -195,6 +199,15 @@ def main(argv=None) -> Dict[str, Any]:
         learnable_task_weights=model_cfg.get("learnable_task_weights", False),
         **kwargs,
     )
+    if wire == "u8":
+        # bake the normalization stats + kernel impl into the model so u8
+        # train batches embed on-device (models/u8wire.py)
+        model = dataclasses.replace(
+            model,
+            image_mean=tuple(float(m) for m in train_pp.mean),
+            image_std=tuple(float(s) for s in train_pp.std),
+            embed_impl="pallas" if jax.default_backend() not in ("cpu",) else "reference",
+        )
     params = model_io.init_from_encoder_dir(model, enc_dir, jax.random.key(seed))
 
     if head == "mtl":
@@ -233,6 +246,7 @@ def main(argv=None) -> Dict[str, Any]:
         logging_dir=os.path.join(output_dir, "logs"),
         debug_nans=train_cfg.get("debug_nans", False),
         resume_from_checkpoint=train_cfg.get("resume_from_checkpoint", "") or "",
+        wire=wire,
     )
 
     par_cfg = config.get("parallel", {})

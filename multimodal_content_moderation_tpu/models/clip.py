@@ -289,6 +289,23 @@ def clip_vision_encoder(
     return x
 
 
+def clip_vision_pooled_from_tokens(
+    params: dict, tokens: jnp.ndarray, cfg: CLIPVisionConfig
+) -> jnp.ndarray:
+    """Pooled image embedding from already-embedded patch tokens (the u8
+    wire-format path: ops/pallas_image embeds, this pools)."""
+    x = clip_vision_encoder(params, tokens, cfg)
+    return layer_norm(x[:, 0], params["vision_model"]["post_ln"], cfg.layer_norm_eps)
+
+
+def clip_image_features_from_tokens(
+    params: dict, tokens: jnp.ndarray, cfg: CLIPConfig
+) -> jnp.ndarray:
+    """``get_image_features`` from already-embedded patch tokens."""
+    pooled = clip_vision_pooled_from_tokens(params, tokens, cfg.vision)
+    return dense(pooled, params["visual_projection"])
+
+
 def clip_vision_hidden(
     params: dict, pixel_values: jnp.ndarray, cfg: CLIPVisionConfig
 ) -> jnp.ndarray:

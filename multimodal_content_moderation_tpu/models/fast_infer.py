@@ -7,75 +7,64 @@ Pallas fused normalize+patchify+embed kernel (ops/pallas_image.py), whose
 folded-GEMM math is bit-equivalent to normalize->patchify->dense up to fp32
 accumulation order. The rest of the tower is the shared encoder trunk.
 
-Currently specialized for the CLIP flagship (clip_vision_encoder); SigLIP
-would fold into its biased patch embed the same way.
+Works for every backend x head combination the reference ships (CLIP/SigLIP
+x fusion/MTL — reference scripts/evaluate.py rebuilds any of them from
+``inference_config.json``): the models natively accept ``patches_u8``
+batches (models/u8wire.py), so the engine is one jitted forward with the
+wire format and kernel impl baked in.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimodal_content_moderation_tpu.models import clip as clip_mod
-from multimodal_content_moderation_tpu.models.fusion import FusionModel, fusion_head_apply
-from multimodal_content_moderation_tpu.ops.layers import dense, layer_norm
-from multimodal_content_moderation_tpu.ops.pallas_image import (
-    extract_patches_u8,
-    fold_norm_into_embed,
-    patch_embed_reference,
-    patch_embed_u8,
-)
+from multimodal_content_moderation_tpu.ops.pallas_image import extract_patches_u8
 
 
 class FastInferenceEngine:
-    """Jitted u8-wire-format forward for a CLIP FusionModel."""
+    """Jitted u8-wire-format forward for a FusionModel or MultiTaskModel."""
 
     def __init__(
         self,
-        model: FusionModel,
+        model,
         params: dict,
         mean: Sequence[float],
         std: Sequence[float],
         use_pallas: Optional[bool] = None,
     ):
-        assert model.backend == "clip", "fast path targets the CLIP flagship"
-        self.model = model
-        self.params = params
-        self.patch_size = model.clip_config.vision.patch_size
-        vcfg = model.clip_config.vision
-
-        pe = params["backbone"]["vision_model"]["patch_embedding"]
-        self.w_folded, self.b_folded = fold_norm_into_embed(
-            jnp.asarray(pe["w"], jnp.float32),
-            jnp.asarray(pe.get("b")) if "b" in pe else None,
-            mean,
-            std,
-            vcfg.patch_size,
-            vcfg.num_channels,
-        )
         if use_pallas is None:
+            # the Pallas kernel targets TPU; XLA reference path elsewhere
             use_pallas = jax.default_backend() not in ("cpu",)
-        embed = patch_embed_u8 if use_pallas else patch_embed_reference
+        self.model = dataclasses.replace(
+            model,
+            image_mean=tuple(float(m) for m in mean),
+            image_std=tuple(float(s) for s in std),
+            embed_impl="pallas" if use_pallas else "reference",
+        )
+        self.params = params
+        vcfg = (
+            self.model.clip_config.vision
+            if self.model.backend == "clip"
+            else self.model.siglip_config.vision
+        )
+        self.patch_size = vcfg.patch_size
 
-        cfg = model.clip_config
-        compute_dtype = cfg.vision.compute_dtype
+        mdl = self.model
 
-        def forward(params, w_folded, b_folded, ids, mask, patches_u8, tpres, ipres):
-            tokens = embed(
-                patches_u8, w_folded, b_folded, out_dtype=jnp.dtype(compute_dtype)
-            )
-            bp = params["backbone"]
-            hidden = clip_mod.clip_vision_encoder(bp, tokens, cfg.vision)
-            pooled = layer_norm(
-                hidden[:, 0], bp["vision_model"]["post_ln"], cfg.vision.layer_norm_eps
-            )
-            vfeat = dense(pooled, bp["visual_projection"])
-            tfeat = clip_mod.clip_text_features(bp, ids, mask, cfg)
-            logits = fusion_head_apply(params["head"], tfeat, vfeat, tpres, ipres)
-            return logits.astype(jnp.float32)
+        def forward(params, ids, mask, patches_u8, tpres, ipres):
+            batch = {
+                "input_ids": ids,
+                "attention_mask": mask,
+                "patches_u8": patches_u8,
+                "text_present": tpres,
+                "image_present": ipres,
+            }
+            return mdl.apply(params, batch)["logits"].astype(jnp.float32)
 
         self._forward = jax.jit(forward)
 
@@ -85,12 +74,40 @@ class FastInferenceEngine:
 
     def __call__(self, ids, mask, patches_u8, text_present, image_present):
         return self._forward(
-            self.params,
-            self.w_folded,
-            self.b_folded,
-            ids,
-            mask,
-            patches_u8,
-            text_present,
-            image_present,
+            self.params, ids, mask, patches_u8, text_present, image_present
         )
+
+
+def evaluate_logits_u8(
+    engine: FastInferenceEngine,
+    dataset,
+    batch_size: int,
+    num_workers: int = 8,
+):
+    """Stream a CSVDataset (built with a uint8_hwc preprocessor) through the
+    fast engine; returns (logits, labels) host arrays. Mirrors
+    training.loop.evaluate_logits (padded last batch, async dispatch with a
+    bounded in-flight window) but on the u8 wire format — this is the
+    measurement boundary the reference's 400.9 samples/s uses (its evaluate
+    loop includes the DataLoader, scripts/evaluate.py:163-183)."""
+    all_logits, all_labels, valids, outs = [], [], [], []
+    for batch in dataset.batches(
+        batch_size, pad_to_batch=True, num_workers=num_workers
+    ):
+        valids.append(int(batch.pop("_valid")))
+        all_labels.append(batch.pop("labels")[: valids[-1]])
+        patches = engine.patches_from_hwc(batch["pixel_values"])
+        outs.append(
+            engine(
+                batch["input_ids"],
+                batch["attention_mask"],
+                patches,
+                batch["text_present"],
+                batch["image_present"],
+            )
+        )
+        if len(outs) > 2:
+            all_logits.append(np.asarray(outs.pop(0)))
+    all_logits.extend(np.asarray(o) for o in outs)
+    all_logits = [lg[:v] for lg, v in zip(all_logits, valids)]
+    return np.concatenate(all_logits), np.concatenate(all_labels)

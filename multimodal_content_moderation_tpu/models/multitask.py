@@ -147,6 +147,10 @@ class MultiTaskModel:
     fusion_dim: int = 512
     head_hidden_dim: int = 0
     learnable_task_weights: bool = False
+    # uint8 wire format (see models/u8wire.py)
+    image_mean: Optional[tuple] = None
+    image_std: Optional[tuple] = None
+    embed_impl: str = "reference"
 
     @staticmethod
     def create(
@@ -217,24 +221,51 @@ class MultiTaskModel:
         )
         return {"backbone": backbone, "head": head}
 
+    def _embed_u8(self, bp: dict, patches_u8: jnp.ndarray) -> jnp.ndarray:
+        from multimodal_content_moderation_tpu.models.u8wire import (
+            default_stats,
+            embed_patches_u8,
+        )
+
+        vcfg = (
+            self.clip_config.vision if self.backend == "clip"
+            else self.siglip_config.vision
+        )
+        dmean, dstd = default_stats("clip" if self.backend == "clip" else "siglip")
+        return embed_patches_u8(
+            bp, patches_u8, vcfg,
+            self.image_mean or dmean, self.image_std or dstd, self.embed_impl,
+        )
+
     def encode(
         self, params: dict, batch: Dict[str, jnp.ndarray]
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         bp = params["backbone"]
+        u8 = batch.get("patches_u8")
         if self.backend == "clip":
             t = clip_mod.clip_text_pooled(
                 bp, batch["input_ids"], batch.get("attention_mask"), self.clip_config.text
             )
-            v = clip_mod.clip_vision_pooled(
-                bp, batch["pixel_values"], self.clip_config.vision
-            )
+            if u8 is not None:
+                v = clip_mod.clip_vision_pooled_from_tokens(
+                    bp, self._embed_u8(bp, u8), self.clip_config.vision
+                )
+            else:
+                v = clip_mod.clip_vision_pooled(
+                    bp, batch["pixel_values"], self.clip_config.vision
+                )
         else:
             t = siglip_mod.siglip_text_features(
                 bp, batch["input_ids"], batch.get("attention_mask"), self.siglip_config
             )
-            v = siglip_mod.siglip_image_features(
-                bp, batch["pixel_values"], self.siglip_config
-            )
+            if u8 is not None:
+                v = siglip_mod.siglip_image_features_from_tokens(
+                    bp, self._embed_u8(bp, u8), self.siglip_config
+                )
+            else:
+                v = siglip_mod.siglip_image_features(
+                    bp, batch["pixel_values"], self.siglip_config
+                )
         return t, v
 
     def apply(

@@ -203,14 +203,14 @@ def _map_head(hidden: jnp.ndarray, p: dict, cfg: SigLIPVisionConfig) -> jnp.ndar
     return (residual + y)[:, 0]
 
 
-def siglip_vision_hidden(
-    params: dict, pixel_values: jnp.ndarray, cfg: SigLIPVisionConfig
+def siglip_vision_encoder(
+    params: dict, tokens: jnp.ndarray, cfg: SigLIPVisionConfig
 ) -> jnp.ndarray:
-    """Post-LN hidden states [B, N, D] of the SigLIP ViT."""
+    """ViT trunk over already-embedded patch tokens [B, N, D] -> post-LN
+    hidden states (pos-embed + blocks + post-LN; no class token in SigLIP).
+    Shared by the fp32 pixel path and the uint8 wire-format fast path."""
     p = params["vision_model"]
-    patches = patchify(pixel_values.astype(cfg.compute_dtype), cfg.patch_size)
-    x = dense(patches, p["patch_embedding"])
-    x = x + p["position_embedding"].astype(x.dtype)[None]
+    x = tokens + p["position_embedding"].astype(tokens.dtype)[None]
     for layer in p["layers"]:
         x = transformer_block(
             x, layer, cfg.num_heads, cfg.hidden_act, None, cfg.layer_norm_eps,
@@ -221,9 +221,27 @@ def siglip_vision_hidden(
     return layer_norm(x, p["post_ln"], cfg.layer_norm_eps)
 
 
+def siglip_vision_hidden(
+    params: dict, pixel_values: jnp.ndarray, cfg: SigLIPVisionConfig
+) -> jnp.ndarray:
+    """Post-LN hidden states [B, N, D] of the SigLIP ViT."""
+    patches = patchify(pixel_values.astype(cfg.compute_dtype), cfg.patch_size)
+    tokens = dense(patches, params["vision_model"]["patch_embedding"])
+    return siglip_vision_encoder(params, tokens, cfg)
+
+
 def siglip_image_features(
     params: dict, pixel_values: jnp.ndarray, cfg: SigLIPConfig
 ) -> jnp.ndarray:
     """= HF ``SiglipModel.get_image_features`` (MAP-head pooled)."""
     hidden = siglip_vision_hidden(params, pixel_values, cfg.vision)
+    return _map_head(hidden, params["vision_model"]["map_head"], cfg.vision)
+
+
+def siglip_image_features_from_tokens(
+    params: dict, tokens: jnp.ndarray, cfg: SigLIPConfig
+) -> jnp.ndarray:
+    """``get_image_features`` from already-embedded patch tokens (the u8
+    wire-format path: ops/pallas_image embeds, this pools)."""
+    hidden = siglip_vision_encoder(params, tokens, cfg.vision)
     return _map_head(hidden, params["vision_model"]["map_head"], cfg.vision)

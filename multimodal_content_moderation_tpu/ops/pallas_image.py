@@ -136,3 +136,45 @@ def patch_embed_reference(
         jnp.einsum("bnk,kd->bnd", x, w_folded, preferred_element_type=jnp.float32)
         + b_folded
     ).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable u8 embed (training path)
+# ---------------------------------------------------------------------------
+#
+# Training with the u8 wire format needs gradients w.r.t. the folded weight
+# and bias (the fold itself is a linear reparameterization upstream, so
+# d(w)/d(w_folded) chains through automatically). The custom VJP below keeps
+# the Pallas kernel on the forward pass and computes dW = x^T g with the
+# uint8 patches CAST TO fp32 FIRST — XLA must never see a uint8 GEMM operand
+# (measured 540x cliff on this backend).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def patch_embed_u8_train(
+    patches_u8: jnp.ndarray,
+    w_folded: jnp.ndarray,
+    b_folded: jnp.ndarray,
+    out_dtype=jnp.bfloat16,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    embed = patch_embed_u8 if use_pallas else patch_embed_reference
+    return embed(patches_u8, w_folded, b_folded, out_dtype=out_dtype)
+
+
+def _embed_train_fwd(patches_u8, w_folded, b_folded, out_dtype, use_pallas):
+    out = patch_embed_u8_train(patches_u8, w_folded, b_folded, out_dtype, use_pallas)
+    return out, patches_u8
+
+
+def _embed_train_bwd(out_dtype, use_pallas, patches_u8, g):
+    x = patches_u8.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    dw = jnp.einsum("bnk,bnd->kd", x, g32, preferred_element_type=jnp.float32)
+    db = jnp.sum(g32, axis=(0, 1))
+    # integer primal: cotangent is float0 (pixels are data, not parameters)
+    dx = np.zeros(patches_u8.shape, dtype=jax.dtypes.float0)
+    return dx, dw, db
+
+
+patch_embed_u8_train.defvjp(_embed_train_fwd, _embed_train_bwd)

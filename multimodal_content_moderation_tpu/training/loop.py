@@ -84,6 +84,11 @@ class TrainArgs:
     debug_nans: bool = False
     resume_from_checkpoint: str = ""  # "" | "auto" | explicit trainstate dir
     prefetch: int = 2
+    # "f32": normalized fp32 NCHW pixels (parity path). "u8": raw uint8 patch
+    # rows on the wire, normalize folded into the patch embed on device
+    # (4x fewer host->HBM bytes; requires a uint8_hwc train preprocessor and
+    # a model with image_mean/image_std set — models/u8wire.py).
+    wire: str = "f32"
 
 
 def make_train_step(model, tx, pos_weight: Optional[np.ndarray] = None) -> Callable:
@@ -314,18 +319,39 @@ class Trainer:
         history = []
         t_start = time.time()
 
+        patch_size = None
+        if args.wire == "u8":
+            vcfg = (
+                self.model.clip_config.vision
+                if self.model.backend == "clip"
+                else self.model.siglip_config.vision
+            )
+            patch_size = vcfg.patch_size
+
         for epoch in range(self.start_epoch, args.num_train_epochs):
             indices = self._epoch_indices(epoch)
             losses = []
 
             def host_batches():
+                from multimodal_content_moderation_tpu.ops.pallas_image import (
+                    extract_patches_u8,
+                )
+
                 for batch in self.train_ds.batches(
                     args.per_device_train_batch_size,
                     drop_last=True,
                     indices=indices,
                     num_workers=args.num_workers,
                 ):
-                    yield {k: batch[k] for k in BATCH_KEYS if k in batch}
+                    b = {k: batch[k] for k in BATCH_KEYS if k in batch}
+                    if patch_size is not None:
+                        # u8 wire: HWC uint8 crops -> patch rows on the host
+                        # (pure reshape); the device folds normalize into the
+                        # patch-embed GEMM
+                        b["patches_u8"] = extract_patches_u8(
+                            b.pop("pixel_values"), patch_size
+                        )
+                    yield b
 
             for dev in prefetch_to_device(
                 host_batches(), self.mesh, size=args.prefetch

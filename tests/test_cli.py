@@ -225,3 +225,44 @@ def test_fast_engine_serving_equals_standard(trained_run, data_dir):
             assert b["predictions"][name]["probability"] == pytest.approx(
                 a["predictions"][name]["probability"], abs=1e-3
             ), (text, img, name)
+
+
+def test_evaluate_cli_fast_engine_matches_standard(trained_run, data_dir, tmp_path):
+    """--engine fast (u8 wire + fused embed, decode included in the timing
+    boundary) must reproduce the standard path's metrics."""
+    from multimodal_content_moderation_tpu.cli import evaluate as eval_cli
+
+    out, result = trained_run
+    ckpt = result["result"]["best_checkpoint"]
+    common = [
+        "--checkpoint", ckpt,
+        "--test_csv", f"{data_dir}/test.csv",
+        "--image_root", f"{data_dir}/images",
+        "--batch_size", "8",
+    ]
+    m_std = eval_cli.main(common + ["--output", str(tmp_path / "std.json")])
+    m_fast = eval_cli.main(
+        common + ["--engine", "fast", "--output", str(tmp_path / "fast.json")]
+    )
+    assert m_fast["f1_macro"] == pytest.approx(m_std["f1_macro"], abs=1e-6)
+    assert m_fast["roc_auc_macro"] == pytest.approx(m_std["roc_auc_macro"], abs=1e-4)
+
+
+@pytest.mark.slow
+def test_train_cli_u8_wire(config_file, tmp_path):
+    """training.wire=u8 trains end to end (u8 crops on the wire, normalize
+    folded into the patch embed) and produces the same artifact schema."""
+    import yaml
+
+    from multimodal_content_moderation_tpu.cli import train as train_cli
+
+    with open(config_file) as f:
+        cfg = yaml.safe_load(f)
+    cfg["training"]["wire"] = "u8"
+    cfg["training"]["num_train_epochs"] = 1
+    p = tmp_path / "u8.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    out = str(tmp_path / "run_u8")
+    result = train_cli.main(["--config", str(p), "--saving.output_dir", out])
+    assert os.path.exists(os.path.join(out, "inference_config.json"))
+    assert np.isfinite(result["val"]["loss"])

@@ -95,12 +95,168 @@ def test_fast_engine_pallas_interpret_matches():
     patches = ref_engine.patches_from_hwc(imgs_u8)
     ref = np.asarray(ref_engine(ids, mask, patches, ones, ones))
 
-    # swap in the interpret-mode Pallas kernel
-    orig = fi.patch_embed_u8
-    fi.patch_embed_u8 = interp_embed
+    # swap in the interpret-mode Pallas kernel (the engine now reaches it
+    # through the differentiable wrapper in ops/pallas_image)
+    orig = pallas_image.patch_embed_u8
+    pallas_image.patch_embed_u8 = interp_embed
     try:
         pl_engine = FastInferenceEngine(model, params, MEAN, STD, use_pallas=True)
         got = np.asarray(pl_engine(ids, mask, patches, ones, ones))
     finally:
-        fi.patch_embed_u8 = orig
+        pallas_image.patch_embed_u8 = orig
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+SIGLIP_MEAN = (0.5, 0.5, 0.5)
+SIGLIP_STD = (0.5, 0.5, 0.5)
+
+
+def _u8_and_pixel(imgs_u8, mean, std):
+    x = imgs_u8.astype(np.float32) / 255.0
+    x = (x - np.asarray(mean)) / np.asarray(std)
+    return np.ascontiguousarray(x.transpose(0, 3, 1, 2)).astype(np.float32)
+
+
+def test_fast_engine_siglip_fusion():
+    from multimodal_content_moderation_tpu.models.siglip import (
+        SigLIPConfig,
+        SigLIPTextConfig,
+        SigLIPVisionConfig,
+    )
+
+    cfg = SigLIPConfig(
+        text=SigLIPTextConfig(
+            vocab_size=64, hidden_size=32, num_layers=1, num_heads=2,
+            intermediate_size=64, max_positions=8, projection_size=32,
+        ),
+        vision=SigLIPVisionConfig(
+            hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
+            image_size=32, patch_size=16,
+        ),
+    )
+    model = FusionModel.create("siglip", num_labels=2, fusion_dim=8, siglip_config=cfg)
+    params = model.init(jax.random.key(2))
+
+    g = np.random.default_rng(2)
+    B = 3
+    ids = g.integers(1, 63, size=(B, 8)).astype(np.int32)
+    mask = np.ones((B, 8), np.int32)
+    imgs_u8 = g.integers(0, 256, size=(B, 32, 32, 3), dtype=np.uint8)
+    ones = np.ones((B,), np.float32)
+
+    ref = np.asarray(
+        model.apply(
+            params,
+            {
+                "input_ids": ids, "attention_mask": mask,
+                "pixel_values": _u8_and_pixel(imgs_u8, SIGLIP_MEAN, SIGLIP_STD),
+                "text_present": ones, "image_present": ones,
+            },
+        )["logits"]
+    )
+    engine = FastInferenceEngine(model, params, SIGLIP_MEAN, SIGLIP_STD, use_pallas=False)
+    got = np.asarray(engine(ids, mask, engine.patches_from_hwc(imgs_u8), ones, ones))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_fast_engine_mtl():
+    from multimodal_content_moderation_tpu.models.multitask import MultiTaskModel
+
+    cfg = CLIPConfig(
+        text=CLIPTextConfig(
+            vocab_size=64, hidden_size=32, num_layers=1, num_heads=2,
+            intermediate_size=64, max_positions=8, eos_token_id=63,
+        ),
+        vision=CLIPVisionConfig(
+            hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
+            image_size=32, patch_size=16,
+        ),
+        projection_dim=32,
+    )
+    model = MultiTaskModel.create(
+        "clip", num_tasks=3, fusion_dim=8, head_hidden_dim=4, clip_config=cfg
+    )
+    params = model.init(jax.random.key(3))
+
+    g = np.random.default_rng(3)
+    B = 3
+    ids = g.integers(1, 62, size=(B, 8)).astype(np.int32)
+    ids[:, 5] = 63
+    mask = np.ones((B, 8), np.int32)
+    imgs_u8 = g.integers(0, 256, size=(B, 32, 32, 3), dtype=np.uint8)
+    ones = np.ones((B,), np.float32)
+
+    ref = np.asarray(
+        model.apply(
+            params,
+            {
+                "input_ids": ids, "attention_mask": mask,
+                "pixel_values": _u8_and_pixel(imgs_u8, MEAN, STD),
+                "text_present": ones, "image_present": ones,
+            },
+        )["logits"]
+    )
+    engine = FastInferenceEngine(model, params, MEAN, STD, use_pallas=False)
+    got = np.asarray(engine(ids, mask, engine.patches_from_hwc(imgs_u8), ones, ones))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_u8_wire_training_step_matches_pixel_step():
+    """The u8 wire format is differentiable: one SGD step on a u8 batch must
+    match the step on the equivalent fp32-pixel batch (same crops)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import optax
+
+    cfg = CLIPConfig(
+        text=CLIPTextConfig(
+            vocab_size=64, hidden_size=32, num_layers=1, num_heads=2,
+            intermediate_size=64, max_positions=8, eos_token_id=63,
+        ),
+        vision=CLIPVisionConfig(
+            hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
+            image_size=32, patch_size=16,
+        ),
+        projection_dim=32,
+    )
+    model = FusionModel.create("clip", num_labels=2, fusion_dim=8, clip_config=cfg)
+    model_u8 = dataclasses.replace(model, image_mean=MEAN, image_std=STD)
+    params = model.init(jax.random.key(4))
+
+    g = np.random.default_rng(4)
+    B = 4
+    ids = g.integers(1, 62, size=(B, 8)).astype(np.int32)
+    ids[:, 5] = 63
+    mask = np.ones((B, 8), np.int32)
+    imgs_u8 = g.integers(0, 256, size=(B, 32, 32, 3), dtype=np.uint8)
+    ones = np.ones((B,), np.float32)
+    labels = (g.random((B, 2)) < 0.5).astype(np.float32)
+
+    from multimodal_content_moderation_tpu.ops.pallas_image import extract_patches_u8
+
+    common = {
+        "input_ids": ids, "attention_mask": mask,
+        "text_present": ones, "image_present": ones, "labels": labels,
+    }
+    b_px = dict(common, pixel_values=_u8_and_pixel(imgs_u8, MEAN, STD))
+    b_u8 = dict(common, patches_u8=extract_patches_u8(imgs_u8, 16))
+
+    tx = optax.sgd(1e-2)
+
+    def one_step(mdl, batch):
+        loss, grads = jax.value_and_grad(lambda p: mdl.apply(p, batch)["loss"])(params)
+        updates, _ = tx.update(grads, tx.init(params), params)
+        return float(loss), optax.apply_updates(params, updates)
+
+    loss_px, p_px = one_step(model, b_px)
+    loss_u8, p_u8 = one_step(model_u8, b_u8)
+    assert abs(loss_px - loss_u8) < 1e-5
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p_px),
+        jax.tree_util.tree_leaves_with_path(p_u8),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )

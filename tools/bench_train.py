@@ -3,8 +3,17 @@
 
 Measures the full fine-tuning step (forward + backward + two-group AdamW
 update) of the flagship CLIP fusion classifier in mixed precision, the
-counterpart of the reference's HF-Trainer fine-tune loop. Uses the same
-synchronization discipline as bench.py (unique args, scalar-fetch barriers).
+counterpart of the reference's HF-Trainer fine-tune loop.
+
+``--wire u8`` (default) uses the uint8 wire format: raw patch rows on the
+host->device path and the Pallas fused normalize+patchify+embed kernel with
+its custom VJP (ops/pallas_image.py) — the same 4x wire-byte and 540x
+uint8-GEMM-cliff win the eval path gets, now in training. ``--wire f32``
+reproduces the round-1 fp32-pixel measurement. ``--sweep`` runs a batch-size
+sweep and reports the best.
+
+Uses the same synchronization discipline as bench.py (unique args,
+scalar-fetch barriers, best-of-3 passes around tunnel stalls).
 """
 
 from __future__ import annotations
@@ -21,19 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--steps", type=int, default=20)
-    args = ap.parse_args()
-
+def build(wire: str, scores_dtype: str):
     import jax
     import jax.numpy as jnp
 
+    from multimodal_content_moderation_tpu.data.images import CLIP_MEAN, CLIP_STD
     from multimodal_content_moderation_tpu.models import FusionModel
-    from multimodal_content_moderation_tpu.parallel.mesh import build_mesh, replicate, shard_batch
-    from multimodal_content_moderation_tpu.training.loop import make_train_step
-    from multimodal_content_moderation_tpu.training.optim import build_optimizer
 
     base = FusionModel.create("clip", num_labels=5)
     cfg = base.clip_config
@@ -41,63 +43,115 @@ def main():
         base,
         clip_config=dataclasses.replace(
             cfg,
-            text=dataclasses.replace(cfg.text, compute_dtype="bfloat16"),
-            vision=dataclasses.replace(cfg.vision, compute_dtype="bfloat16"),
+            text=dataclasses.replace(
+                cfg.text, compute_dtype="bfloat16", scores_dtype=scores_dtype
+            ),
+            vision=dataclasses.replace(
+                cfg.vision, compute_dtype="bfloat16", scores_dtype=scores_dtype
+            ),
         ),
     )
+    if wire == "u8":
+        model = dataclasses.replace(
+            model,
+            image_mean=CLIP_MEAN,
+            image_std=CLIP_STD,
+            embed_impl="pallas" if jax.default_backend() not in ("cpu",) else "reference",
+        )
+    return model
+
+
+def run_once(model, wire: str, B: int, steps: int) -> float:
+    """Returns samples/s for one (wire, batch) config."""
+    import jax
+
+    from multimodal_content_moderation_tpu.ops.pallas_image import extract_patches_u8
+    from multimodal_content_moderation_tpu.parallel.mesh import (
+        build_mesh,
+        replicate,
+        shard_batch,
+    )
+    from multimodal_content_moderation_tpu.training.loop import make_train_step
+    from multimodal_content_moderation_tpu.training.optim import build_optimizer
+
     mesh = build_mesh()
     params = replicate(model.init(jax.random.key(0)), mesh)
     tx = build_optimizer(params, total_steps=1000)
     opt_state = tx.init(params)
     rng = jax.random.key(0)
     train_step = make_train_step(model, tx)
-
-    B = args.batch
-    g = np.random.default_rng(0)
     img = model.image_size
+    patch = model.clip_config.vision.patch_size
 
     def batch(seed):
         gg = np.random.default_rng(seed)
         ids = gg.integers(1, 49000, size=(B, 77)).astype(np.int32)
         ids[:, 30] = 49407
-        return shard_batch(
-            {
-                "input_ids": ids,
-                "attention_mask": np.ones((B, 77), np.int32),
-                "pixel_values": gg.normal(size=(B, 3, img, img)).astype(np.float32),
-                "text_present": np.ones((B,), np.float32),
-                "image_present": np.ones((B,), np.float32),
-                "labels": (gg.random((B, 5)) < 0.3).astype(np.float32),
-            },
-            mesh,
-        )
+        b = {
+            "input_ids": ids,
+            "attention_mask": np.ones((B, 77), np.int32),
+            "text_present": np.ones((B,), np.float32),
+            "image_present": np.ones((B,), np.float32),
+            "labels": (gg.random((B, 5)) < 0.3).astype(np.float32),
+        }
+        if wire == "u8":
+            crops = gg.integers(0, 256, size=(B, img, img, 3), dtype=np.uint8)
+            b["patches_u8"] = extract_patches_u8(crops, patch)
+        else:
+            b["pixel_values"] = gg.normal(size=(B, 3, img, img)).astype(np.float32)
+        return shard_batch(b, mesh)
 
     batches = [batch(i) for i in range(4)]
     params, opt_state, rng, loss = train_step(params, opt_state, rng, batches[0])
     _ = float(loss)  # compile barrier
 
-    # Best of 3 passes: the tunneled chip has multi-second contention windows
-    # unrelated to the computation (same discipline as bench.py).
     best_dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for k in range(args.steps):
+        for k in range(steps):
             params, opt_state, rng, loss = train_step(
                 params, opt_state, rng, batches[k % len(batches)]
             )
         _ = float(loss)  # scalar fetch = true barrier
         best_dt = min(best_dt, time.perf_counter() - t0)
-    dt = best_dt
-    sps = args.steps * B / dt
+    return steps * B / best_dt, best_dt / steps
 
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--wire", choices=["u8", "f32"], default="u8")
+    ap.add_argument(
+        "--scores_dtype", choices=["float32", "bfloat16"], default="float32"
+    )
+    ap.add_argument(
+        "--sweep", type=str, default="",
+        help="comma-separated batch sizes to sweep (e.g. 64,128,192,256)",
+    )
+    args = ap.parse_args()
+
+    model = build(args.wire, args.scores_dtype)
+    sizes = (
+        [int(s) for s in args.sweep.split(",") if s] if args.sweep else [args.batch]
+    )
+    results = []
+    for B in sizes:
+        sps, spstep = run_once(model, args.wire, B, args.steps)
+        results.append({"batch": B, "samples_per_s": round(sps, 1),
+                        "ms_per_step": round(spstep * 1000, 1)})
+    best = max(results, key=lambda r: r["samples_per_s"])
     print(
         json.dumps(
             {
                 "metric": "train_step_samples_per_sec_per_chip",
-                "value": round(sps, 1),
+                "value": best["samples_per_s"],
                 "unit": "samples/s",
-                "batch": B,
-                "ms_per_step": round(dt / args.steps * 1000, 1),
+                "batch": best["batch"],
+                "ms_per_step": best["ms_per_step"],
+                "wire": args.wire,
+                "scores_dtype": args.scores_dtype,
+                "sweep": results if len(results) > 1 else None,
             }
         )
     )
