@@ -1,0 +1,316 @@
+#!/usr/bin/env python
+"""Quality-parity harness: fine-tune the torch reference-shaped model and the
+JAX model on the SAME dataset and compare F1/ROC.
+
+This is the machinery that demonstrates the BASELINE quality target
+(F1-macro/ROC-AUC within +-0.005 of 0.569/0.783, reference
+runs/clip_mtl_mmhshateful/test_metrics.json) the moment real MMHS150K assets
+are mounted — and it is exercised continuously on synthetic fixtures in
+tests/test_quality_parity.py.
+
+Two modes:
+- ``--mode locked`` (default): identical init (torch weights converted into
+  the JAX pytree), identical data order, dropout off, same AdamW hyperparams.
+  Differences are then pure numerics, so per-step losses and final metrics
+  must agree tightly — this validates the training stack end to end.
+- ``--mode independent``: each side trains from its own init with dropout on
+  (the realistic comparison; metric deltas reflect seed noise, not bugs).
+
+Both sides consume OUR input pipeline (CSVDataset batches), so the data is
+bit-identical and the comparison isolates model+optimizer behavior. The
+torch side is a compact re-derivation of the reference architecture
+(src/models/fusion.py:55-229) trained with plain AdamW + BCE, mirroring the
+reference's effective configuration (single LR — its two-LR knob was
+cosmetic, scripts/train.py:273).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_torch_fusion(encoder_dir: str, num_labels: int, fusion_dim: int, seed: int):
+    """Reference-shaped torch fusion classifier over a local HF CLIP dir."""
+    import torch
+    import torch.nn as nn
+    import transformers
+
+    class TorchFusion(nn.Module):
+        def __init__(self):
+            super().__init__()
+            cfg = transformers.CLIPConfig.from_pretrained(encoder_dir)
+            self.backbone = transformers.CLIPModel.from_pretrained(encoder_dir)
+            d = cfg.projection_dim
+            self.proj_t = nn.Linear(d, fusion_dim)
+            self.proj_i = nn.Linear(d, fusion_dim)
+            self.g_t = nn.Linear(fusion_dim, fusion_dim)
+            self.g_i = nn.Linear(fusion_dim, fusion_dim)
+            self.gate = nn.Linear(fusion_dim * 2 + 2, fusion_dim)
+            self.ln_fused = nn.LayerNorm(fusion_dim)
+            self.cls = nn.Sequential(
+                nn.LayerNorm(fusion_dim * 5),
+                nn.Linear(fusion_dim * 5, fusion_dim),
+                nn.GELU(),
+                nn.Dropout(0.2),
+                nn.Linear(fusion_dim, num_labels),
+            )
+
+        def forward(self, ids, mask, px, tpres, ipres):
+            import torch
+            import torch.nn.functional as F
+
+            t = self.backbone.get_text_features(input_ids=ids, attention_mask=mask)
+            v = self.backbone.get_image_features(pixel_values=px)
+            t = F.normalize(t, dim=-1) * tpres.unsqueeze(1)
+            v = F.normalize(v, dim=-1) * ipres.unsqueeze(1)
+            tp, vp = self.proj_t(t), self.proj_i(v)
+            zt, zi = torch.tanh(self.g_t(tp)), torch.tanh(self.g_i(vp))
+            presence = torch.stack([tpres, ipres], dim=1)
+            g = torch.sigmoid(self.gate(torch.cat([tp, vp, presence], dim=1)))
+            fused = torch.where(
+                (ipres < 0.5).unsqueeze(1),
+                zt,
+                torch.where((tpres < 0.5).unsqueeze(1), zi, g * zt + (1 - g) * zi),
+            )
+            fused = self.ln_fused(fused)
+            feat = torch.cat([fused, tp, vp, torch.abs(tp - vp), tp * vp], dim=1)
+            return self.cls(feat)
+
+    torch.manual_seed(seed)
+    return TorchFusion()
+
+
+def epoch_orders(n: int, epochs: int, seed: int):
+    return [
+        np.random.default_rng(seed + e).permutation(n) for e in range(epochs)
+    ]
+
+
+def batches_for(ds, order, batch_size):
+    for batch in ds.batches(batch_size, drop_last=True, indices=order):
+        yield batch
+
+
+def train_torch(model, train_ds, val_ds, orders, batch_size, lr, wd, dropout_off):
+    import torch
+    import torch.nn.functional as F
+
+    if dropout_off:
+        model.eval()
+    else:
+        model.train()
+    opt = torch.optim.AdamW(model.parameters(), lr=lr, weight_decay=wd)
+    losses = []
+    for order in orders:
+        for b in batches_for(train_ds, order, batch_size):
+            opt.zero_grad()
+            logits = model(
+                torch.tensor(b["input_ids"].astype(np.int64)),
+                torch.tensor(b["attention_mask"].astype(np.int64)),
+                torch.tensor(b["pixel_values"]),
+                torch.tensor(b["text_present"]),
+                torch.tensor(b["image_present"]),
+            )
+            loss = F.binary_cross_entropy_with_logits(
+                logits, torch.tensor(b["labels"])
+            )
+            loss.backward()
+            opt.step()
+            losses.append(float(loss))
+    model.eval()
+    all_logits, all_labels = [], []
+    with torch.no_grad():
+        for b in batches_for(val_ds, np.arange(len(val_ds)), batch_size):
+            all_logits.append(
+                model(
+                    torch.tensor(b["input_ids"].astype(np.int64)),
+                    torch.tensor(b["attention_mask"].astype(np.int64)),
+                    torch.tensor(b["pixel_values"]),
+                    torch.tensor(b["text_present"]),
+                    torch.tensor(b["image_present"]),
+                ).numpy()
+            )
+            all_labels.append(b["labels"])
+    return losses, np.concatenate(all_logits), np.concatenate(all_labels)
+
+
+def train_jax(model, params, train_ds, val_ds, orders, batch_size, lr, wd,
+              dropout_off, seed):
+    import jax
+    import optax
+
+    tx = optax.adamw(lr, weight_decay=wd)
+    opt_state = tx.init(params)
+    rng = jax.random.key(seed)
+
+    @jax.jit
+    def step(params, opt_state, rng, batch):
+        if dropout_off:
+            drop_rng = None
+            new_rng = rng
+        else:
+            new_rng, drop_rng = jax.random.split(rng)
+        loss, grads = jax.value_and_grad(
+            lambda p: model.apply(p, batch, dropout_rng=drop_rng)["loss"]
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, new_rng, loss
+
+    keys = ("input_ids", "attention_mask", "pixel_values", "text_present",
+            "image_present", "labels")
+    losses = []
+    for order in orders:
+        for b in batches_for(train_ds, order, batch_size):
+            params, opt_state, rng, loss = step(
+                params, opt_state, rng, {k: b[k] for k in keys}
+            )
+            losses.append(float(loss))
+
+    fwd = jax.jit(lambda p, b: model.apply(p, b)["logits"])
+    all_logits, all_labels = [], []
+    for b in batches_for(val_ds, np.arange(len(val_ds)), batch_size):
+        all_logits.append(
+            np.asarray(fwd(params, {k: b[k] for k in keys if k != "labels"}))
+        )
+        all_labels.append(b["labels"])
+    return losses, np.concatenate(all_logits), np.concatenate(all_labels)
+
+
+def run(
+    encoder_dir: str,
+    train_csv: str,
+    val_csv: str,
+    image_root: str = "",
+    class_names=None,
+    mode: str = "locked",
+    epochs: int = 2,
+    batch_size: int = 8,
+    lr: float = 1e-3,
+    weight_decay: float = 0.01,
+    fusion_dim: int = 32,
+    max_text_length: int = 77,
+    seed: int = 0,
+) -> dict:
+    from multimodal_content_moderation_tpu.cli.common import image_stats_from_dir
+    from multimodal_content_moderation_tpu.data.dataset import CSVDataset
+    from multimodal_content_moderation_tpu.data.images import ImagePreprocessor
+    from multimodal_content_moderation_tpu.data.tokenizer import load_tokenizer
+    from multimodal_content_moderation_tpu.models import CLIPConfig, FusionModel
+    from multimodal_content_moderation_tpu.models.convert import (
+        fusion_model_from_torch,
+    )
+    from multimodal_content_moderation_tpu.training.metrics import (
+        make_compute_metrics_multi,
+    )
+
+    import jax
+    import transformers
+
+    class_names = class_names or ["racist", "sexist", "homophobe", "religion",
+                                  "otherhate"]
+    tokenizer = load_tokenizer(encoder_dir)
+    (H, W), mean, std = image_stats_from_dir(encoder_dir, "clip")
+    pp = ImagePreprocessor(H, W, mean, std)
+    mk = lambda csv: CSVDataset(
+        csv, image_root, tokenizer, pp, max_text_length, class_names=class_names
+    )
+    train_ds, val_ds = mk(train_csv), mk(val_csv)
+    orders = epoch_orders(len(train_ds), epochs, seed)
+
+    oracle = build_torch_fusion(encoder_dir, len(class_names), fusion_dim, seed)
+    hf_cfg = transformers.CLIPConfig.from_pretrained(encoder_dir)
+    cfg = CLIPConfig.from_hf(hf_cfg)
+    jmodel = FusionModel.create(
+        "clip", num_labels=len(class_names), fusion_dim=fusion_dim, clip_config=cfg
+    )
+    if mode == "locked":
+        jparams = fusion_model_from_torch(oracle.state_dict(), "clip", clip_cfg=cfg)
+        dropout_off = True
+    else:
+        jparams = jmodel.init(jax.random.key(seed + 1))
+        # encoders still start from the pretrained weights on both sides
+        from multimodal_content_moderation_tpu.models.convert import (
+            clip_params_from_torch,
+        )
+
+        jparams["backbone"] = clip_params_from_torch(
+            oracle.backbone.state_dict(), cfg
+        )
+        dropout_off = False
+
+    t_losses, t_logits, labels = train_torch(
+        oracle, train_ds, val_ds, orders, batch_size, lr, weight_decay, dropout_off
+    )
+    j_losses, j_logits, _ = train_jax(
+        jmodel, jparams, train_ds, val_ds, orders, batch_size, lr, weight_decay,
+        dropout_off, seed,
+    )
+
+    cm = make_compute_metrics_multi(len(class_names))
+    t_metrics = cm((t_logits, labels))
+    j_metrics = cm((j_logits, labels))
+    report = {
+        "mode": mode,
+        "steps": len(t_losses),
+        "torch": {k: float(v) for k, v in t_metrics.items()},
+        "jax": {k: float(v) for k, v in j_metrics.items()},
+        "delta": {
+            k: float(abs(j_metrics[k] - t_metrics[k])) for k in t_metrics
+        },
+        "final_loss_torch": t_losses[-1],
+        "final_loss_jax": j_losses[-1],
+        "max_step_loss_delta": float(
+            np.max(np.abs(np.asarray(t_losses) - np.asarray(j_losses)))
+        ),
+        "max_val_logit_delta": float(np.max(np.abs(t_logits - j_logits)))
+        if mode == "locked"
+        else None,
+    }
+    return report
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--encoder_dir", required=True)
+    ap.add_argument("--train_csv", required=True)
+    ap.add_argument("--val_csv", required=True)
+    ap.add_argument("--image_root", default="")
+    ap.add_argument("--class_names", default="")
+    ap.add_argument("--mode", choices=["locked", "independent"], default="locked")
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--weight_decay", type=float, default=0.01)
+    ap.add_argument("--fusion_dim", type=int, default=32)
+    ap.add_argument("--max_text_length", type=int, default=77)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tolerance", type=float, default=0.005,
+                    help="max allowed |delta| on f1_macro / roc_macro")
+    ap.add_argument("--output", default="")
+    args = ap.parse_args(argv)
+    names = [c for c in args.class_names.split(",") if c] or None
+    report = run(
+        args.encoder_dir, args.train_csv, args.val_csv, args.image_root, names,
+        args.mode, args.epochs, args.batch_size, args.lr, args.weight_decay,
+        args.fusion_dim, args.max_text_length, args.seed,
+    )
+    print(json.dumps(report, indent=2))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(report, f, indent=2)
+    ok = (
+        report["delta"].get("f1_macro", 1.0) <= args.tolerance
+        and report["delta"].get("roc_macro", 1.0) <= args.tolerance
+    )
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
