@@ -28,13 +28,21 @@ def parse_args(argv=None):
     parser.add_argument(
         "--raw_dir", type=str, default=None, help="Raw MMHS150K directory"
     )
+    parser.add_argument(
+        "--local_dir", type=str, default=None,
+        help="Existing Hateful Memes snapshot (img/ + *.jsonl): convert "
+        "offline instead of downloading",
+    )
     return parser.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
     if args.dataset == "hateful_memes":
-        download_and_prepare_hateful_memes(Path(args.out_dir))
+        download_and_prepare_hateful_memes(
+            Path(args.out_dir),
+            local_repo=Path(args.local_dir) if args.local_dir else None,
+        )
     else:
         if not args.raw_dir:
             raise SystemExit("--raw_dir is required for mmhs150k")

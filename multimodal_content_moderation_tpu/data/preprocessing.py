@@ -8,8 +8,8 @@ preprocessing.py:150-153). The shipped CSVs were produced by that exact
 mapping, so it is reproduced here verbatim — "fixing" it would break parity
 with the published benchmark data.
 
-The Hateful Memes path needs the HF hub (network); it is gated with a clear
-error in offline environments.
+The Hateful Memes download needs the HF hub (network); offline hosts pass an
+existing snapshot dir instead (``--local_dir`` on the prepare-data CLI).
 """
 
 from __future__ import annotations
@@ -18,7 +18,7 @@ import json
 import os
 import shutil
 from pathlib import Path
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import pandas as pd
 
@@ -44,18 +44,29 @@ def _read_jsonl(path: Path) -> List[Dict]:
     return rows
 
 
-def download_and_prepare_hateful_memes(out_root: Path) -> None:
-    """Download the Hateful Memes HF mirror and emit binary-label CSVs
-    (train/val/test with columns text,image_path,label)."""
-    try:
-        from huggingface_hub import snapshot_download
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError("huggingface_hub is required for hateful_memes prep") from e
+def download_and_prepare_hateful_memes(
+    out_root: Path, local_repo: Optional[Path] = None
+) -> None:
+    """Emit Hateful Memes binary-label CSVs (train/val/test with columns
+    text,image_path,label). Downloads the HF mirror unless ``local_repo``
+    points at an existing snapshot (img/ + *.jsonl) — the offline path for
+    air-gapped TPU hosts."""
+    if local_repo is None:  # pragma: no cover - needs network
+        try:
+            from huggingface_hub import snapshot_download
+        except ImportError as e:
+            raise RuntimeError(
+                "huggingface_hub is required for hateful_memes download; "
+                "or pass a local snapshot dir (--local_dir)"
+            ) from e
 
-    print("==> Downloading Hateful Memes (HF mirror) ...")
-    local_repo = Path(
-        snapshot_download(repo_id="neuralcatcher/hateful_memes", repo_type="dataset")
-    )
+        print("==> Downloading Hateful Memes (HF mirror) ...")
+        local_repo = Path(
+            snapshot_download(
+                repo_id="neuralcatcher/hateful_memes", repo_type="dataset"
+            )
+        )
+    local_repo = Path(local_repo)
 
     out_dir = Path(out_root) / "hateful_memes"
     images_out = out_dir / "images"

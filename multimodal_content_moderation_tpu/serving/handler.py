@@ -30,10 +30,21 @@ logger = logging.getLogger(__name__)
 
 def model_fn(model_dir: str, encoder_dir: Optional[str] = None):
     """Load the classifier bundle once at endpoint start
-    (reference sagemaker/inference.py:55-153)."""
+    (reference sagemaker/inference.py:55-153).
+
+    Serving knobs come from the environment (the SageMaker way to configure a
+    container): MMHARM_ENGINE=fast selects the u8 wire + Pallas embed path,
+    MMHARM_PRECISION in {fp32, bf16, bf16_fast} sets compute precision."""
+    import os
+
     from multimodal_content_moderation_tpu.cli.inference import MultiModalClassifier
 
-    return MultiModalClassifier(model_dir, encoder_dir)
+    return MultiModalClassifier(
+        model_dir,
+        encoder_dir,
+        precision=os.environ.get("MMHARM_PRECISION", "fp32"),
+        engine=os.environ.get("MMHARM_ENGINE", "standard"),
+    )
 
 
 def input_fn(request_body: str, content_type: str = "application/json") -> List[Dict]:

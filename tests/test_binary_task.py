@@ -37,6 +37,7 @@ def binary_data(tmp_path_factory, encoder_dir):
     return str(d)
 
 
+@pytest.mark.slow
 def test_binary_train_and_infer(binary_data, encoder_dir, tmp_path):
     from multimodal_content_moderation_tpu.cli import train as train_cli
     from multimodal_content_moderation_tpu.cli.inference import MultiModalClassifier

@@ -266,3 +266,45 @@ def test_train_cli_u8_wire(config_file, tmp_path):
     result = train_cli.main(["--config", str(p), "--saving.output_dir", out])
     assert os.path.exists(os.path.join(out, "inference_config.json"))
     assert np.isfinite(result["val"]["loss"])
+
+
+def test_prepare_data_hateful_memes_offline(tmp_path):
+    """--local_dir converts an existing snapshot without any network:
+    3 jsonl splits -> binary-label CSVs + class_names.txt + copied images."""
+    from multimodal_content_moderation_tpu.cli import prepare_data as prep_cli
+
+    snap = tmp_path / "snapshot"
+    (snap / "img").mkdir(parents=True)
+    Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(snap / "img" / "a.png")
+    rows = {
+        "train.jsonl": [
+            {"id": 1, "img": "img/a.png", "label": 1, "text": "bad meme"},
+            {"id": 2, "img": "img/a.png", "label": 0, "text": "fine meme"},
+        ],
+        "dev_seen.jsonl": [{"id": 3, "img": "img/a.png", "label": 1, "text": "x"}],
+        "test_seen.jsonl": [{"id": 4, "img": "img/a.png", "label": 0, "text": "y"}],
+    }
+    for name, recs in rows.items():
+        with open(snap / name, "w") as f:
+            for r in recs:
+                f.write(json.dumps(r) + "\n")
+
+    out = tmp_path / "out"
+    prep_cli.main(
+        [
+            "--dataset", "hateful_memes",
+            "--out_dir", str(out),
+            "--local_dir", str(snap),
+        ]
+    )
+    d = out / "hateful_memes"
+    import pandas as pd
+
+    train = pd.read_csv(d / "train.csv")
+    assert list(train.columns) == ["text", "image_path", "label"]
+    assert train["label"].tolist() == [1, 0]
+    assert train["image_path"].tolist() == ["a.png", "a.png"]
+    assert (d / "images" / "a.png").exists()
+    assert (d / "class_names.txt").read_text().strip() == "hateful"
+    assert len(pd.read_csv(d / "val.csv")) == 1
+    assert len(pd.read_csv(d / "test.csv")) == 1

@@ -95,6 +95,7 @@ seed: 0
     return str(p)
 
 
+@pytest.mark.slow
 def test_siglip_fusion_end_to_end(siglip_encoder_dir, data_dir, tmp_path):
     from multimodal_content_moderation_tpu.cli import train as train_cli
     from multimodal_content_moderation_tpu.cli.inference import MultiModalClassifier
@@ -137,6 +138,7 @@ def test_siglip_backbone_weights_loaded_not_random(siglip_encoder_dir):
     )
 
 
+@pytest.mark.slow
 def test_mtl_end_to_end(encoder_dir, data_dir, tmp_path):
     from multimodal_content_moderation_tpu.cli import train as train_cli
     from multimodal_content_moderation_tpu.cli import evaluate as eval_cli

@@ -201,6 +201,7 @@ def test_fast_engine_mtl():
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_u8_wire_training_step_matches_pixel_step():
     """The u8 wire format is differentiable: one SGD step on a u8 batch must
     match the step on the equivalent fp32-pixel batch (same crops)."""

@@ -6,6 +6,7 @@ import sys
 import pytest
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_subprocess():
     """dryrun_multichip(8) must build the 2-D mesh and complete one sharded
     train step in a clean process."""
@@ -20,6 +21,7 @@ def test_dryrun_multichip_subprocess():
     assert "dryrun_multichip OK" in proc.stdout
 
 
+@pytest.mark.slow
 def test_entry_returns_jittable():
     """entry() must return (fn, args) where fn traces under jit.
 

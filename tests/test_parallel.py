@@ -103,6 +103,7 @@ def _assert_trees_close(a, b, atol=2e-5, rtol=2e-4):
         )
 
 
+@pytest.mark.slow
 def test_dp_equivalence_8dev_vs_1dev(model_and_params):
     model, params = model_and_params
     mesh1 = build_mesh(1, 1, devices=jax.devices()[:1])
@@ -113,6 +114,7 @@ def test_dp_equivalence_8dev_vs_1dev(model_and_params):
     _assert_trees_close(params1, params8)
 
 
+@pytest.mark.slow
 def test_tp_equivalence_4x2_vs_8x1(model_and_params):
     model, params = model_and_params
     mesh_dp = build_mesh()  # 8 x 1

@@ -124,6 +124,7 @@ class TestEntrypointPlumbing:
         Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(imgs / "a.jpg")
         assert find_image_root(str(tmp_path)) == str(imgs)
 
+    @pytest.mark.slow
     def test_entrypoint_trains(self, encoder_dir, data_dir, tmp_path):
         """Full containerized entrypoint: channels + flat flags -> artifacts."""
         from multimodal_content_moderation_tpu.serving.entrypoint import train
@@ -167,3 +168,25 @@ class TestPackaging:
         extract_model_package(archive, str(dest))
         assert (dest / "inference_config.json").exists()
         assert (dest / "sub" / "w.bin").exists()
+
+
+def test_model_fn_env_engine(trained_run, monkeypatch):
+    """MMHARM_ENGINE=fast must switch the endpoint to the u8 wire path and
+    produce the same predictions as the standard path."""
+    from multimodal_content_moderation_tpu.serving.handler import model_fn
+
+    _, result = trained_run
+    ckpt = result["result"]["best_checkpoint"]
+    monkeypatch.setenv("MMHARM_ENGINE", "fast")
+    clf_fast = model_fn(ckpt)
+    assert clf_fast.engine is not None
+    monkeypatch.delenv("MMHARM_ENGINE")
+    clf_std = model_fn(ckpt)
+    assert clf_std.engine is None
+    a = clf_std.predict("hate hate hate")
+    b = clf_fast.predict("hate hate hate")
+    for name in a["predictions"]:
+        assert abs(
+            a["predictions"][name]["probability"]
+            - b["predictions"][name]["probability"]
+        ) < 1e-3

@@ -206,6 +206,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(tiny_setup, tmp_path):
     d, model, train_ds, val_ds = tiny_setup
     args = TrainArgs(
@@ -236,6 +237,7 @@ def test_trainer_end_to_end(tiny_setup, tmp_path):
     assert len(list_checkpoints(args.output_dir)) <= args.save_total_limit + 1
 
 
+@pytest.mark.slow
 def test_trainer_weighted_sampler_runs(tiny_setup, tmp_path):
     d, model, train_ds, val_ds = tiny_setup
     args = TrainArgs(
@@ -349,6 +351,7 @@ def test_remat_forward_and_grad_match():
     assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
 
 
+@pytest.mark.slow
 def test_trainer_resume_from_checkpoint(tiny_setup, tmp_path):
     """Train 1 epoch, resume 'auto', finish a second epoch — loop counters,
     optimizer state, and best-metric tracking survive the round trip."""
@@ -377,6 +380,7 @@ def test_trainer_resume_from_checkpoint(tiny_setup, tmp_path):
     assert r2["global_step"] == 8  # continued, not restarted
 
 
+@pytest.mark.slow
 def test_tensorboard_event_file_written(tiny_setup, tmp_path):
     d, model, train_ds, val_ds = tiny_setup
     out = str(tmp_path / "tb")
@@ -399,6 +403,7 @@ def test_tensorboard_event_file_written(tiny_setup, tmp_path):
     assert b"eval/roc_macro" in data
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_updates_every_k(tiny_setup, tmp_path):
     """With accumulation k=2, params change only every 2nd micro-step and the
     applied update equals the mean-gradient step."""
