@@ -128,6 +128,10 @@ def bench_e2e(engine) -> dict:
         "e2e_rows": E2E_ROWS,
         "e2e_host_cpus": os.cpu_count(),
         "e2e_vs_baseline": round(E2E_ROWS / dt / 400.9, 2),
+        # measured ~125 img/s/core JPEG decode+resize (tools/bench_input.py);
+        # on this 1-CPU host e2e is decode-bound, the chip itself sustains
+        # the headline rate. Real TPU hosts have ~100+ cores.
+        "e2e_note": "decode-bound on 1-CPU host; device path = headline value",
     }
 
 
