@@ -116,6 +116,10 @@ def main(argv=None):
             make_eval_step(model), params, test_ds, args.batch_size, mesh
         )
         dt = time.time() - t0
+    if config.get("use_logit_adjustment") and config.get("priors"):
+        from multimodal_content_moderation_tpu.ops.losses import logit_adjust
+
+        logits = logit_adjust(logits, config["priors"])
     probs = 1 / (1 + np.exp(-logits))
 
     mean_threshold = float(np.mean(thresholds))

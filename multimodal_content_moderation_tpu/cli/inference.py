@@ -63,6 +63,10 @@ class MultiModalClassifier:
         self.thresholds: List[float] = self.config.get(
             "thresholds", [0.5] * len(self.class_names)
         )
+        # opt-in post-hoc logit adjustment (ops/losses.logit_adjust); the
+        # reference wrote this flag + priors but never consumed them
+        self.logit_adjustment = bool(self.config.get("use_logit_adjustment", False))
+        self.priors = self.config.get("priors")
         # reference-written inference_config.json has no max_text_length
         # (scripts/train.py:357-366); clamp to the encoder's context window
         self.max_len = min(
@@ -144,6 +148,10 @@ class MultiModalClassifier:
             else:
                 logits = np.asarray(self._forward(self.params, batch))
             out[s : s + valid] = logits[:valid]
+        if self.logit_adjustment and self.priors:
+            from multimodal_content_moderation_tpu.ops.losses import logit_adjust
+
+            out = logit_adjust(out, self.priors)
         return out
 
     # -- public API -------------------------------------------------------

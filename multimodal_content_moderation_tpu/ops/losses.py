@@ -91,3 +91,17 @@ def asymmetric_loss(
 
     loss = -(focal_pos * loss_pos + focal_neg * loss_neg)
     return _reduce(loss, reduction)
+
+
+def logit_adjust(logits, priors, tau: float = 1.0):
+    """Post-hoc logit adjustment for class imbalance (Menon et al. 2021,
+    multi-label sigmoid form): subtract ``tau * log(p/(1-p))`` per class.
+
+    The reference declared a ``use_logit_adjustment`` flag and class priors
+    in inference_config.json but never consumed them (scripts/train.py:364 —
+    dead like its lr_encoder knob); here the flag is real and opt-in, applied
+    by the inference/evaluate paths when the config sets it."""
+    import numpy as np
+
+    p = np.clip(np.asarray(priors, np.float32), 1e-6, 1.0 - 1e-6)
+    return logits - tau * np.log(p / (1.0 - p))

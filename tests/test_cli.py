@@ -308,3 +308,35 @@ def test_prepare_data_hateful_memes_offline(tmp_path):
     assert (d / "class_names.txt").read_text().strip() == "hateful"
     assert len(pd.read_csv(d / "val.csv")) == 1
     assert len(pd.read_csv(d / "test.csv")) == 1
+
+
+def test_logit_adjustment_applied(trained_run, data_dir, tmp_path):
+    """use_logit_adjustment=true shifts probabilities by sigma(l - log(p/(1-p)))
+    (opt-in; the reference wrote the flag + priors but never consumed them)."""
+    import shutil
+
+    from multimodal_content_moderation_tpu.cli.inference import MultiModalClassifier
+
+    out, result = trained_run
+    ckpt = result["result"]["best_checkpoint"]
+    # clone the run dir and flip the flag in inference_config.json
+    adj_dir = tmp_path / "adjrun"
+    shutil.copytree(out, adj_dir)
+    cfg_path = adj_dir / "inference_config.json"
+    cfg = json.loads(cfg_path.read_text())
+    cfg["use_logit_adjustment"] = True
+    cfg_path.write_text(json.dumps(cfg))
+
+    plain = MultiModalClassifier(ckpt)
+    # the copied run dir carries the same checkpoint; config discovery walks
+    # up from the checkpoint dir to the flipped inference_config.json
+    adjusted = MultiModalClassifier(str(adj_dir / os.path.basename(ckpt)))
+    img = os.path.join(data_dir, "images", "im0.png")
+    a = plain.predict("hate hate hate", img, return_probs=True)
+    b = adjusted.predict("hate hate hate", img, return_probs=True)
+
+    priors = np.clip(np.asarray(cfg["priors"], np.float32), 1e-6, 1 - 1e-6)
+    la = np.log(priors / (1 - priors))
+    logits_a = np.log(np.asarray(a["probabilities"]) / (1 - np.asarray(a["probabilities"])))
+    expected = 1 / (1 + np.exp(-(logits_a - la)))
+    np.testing.assert_allclose(np.asarray(b["probabilities"]), expected, atol=1e-4)
