@@ -218,3 +218,70 @@ def test_training_trajectory_parity_vs_torch():
     np.testing.assert_allclose(losses_j, losses_t, atol=2e-5, rtol=1e-5)
     # losses must also actually decrease (the optimizer is doing work)
     assert losses_t[-1] < losses_t[0]
+
+
+def test_mtl_gradient_parity_vs_torch():
+    """MTL backward: dL/dtheta vs torch autograd (grads mapped through the
+    same converter), including per-task pos_weight and uncertainty weights."""
+    from test_head_parity import TorchFullMTL
+
+    from multimodal_content_moderation_tpu.models import MultiTaskModel
+    from multimodal_content_moderation_tpu.models.convert import mtl_model_from_torch
+
+    torch.manual_seed(9)
+    hf_cfg = transformers.CLIPConfig(
+        text_config=dict(TINY_TEXT), vision_config=dict(TINY_VISION),
+        projection_dim=32,
+    )
+    oracle = TorchFullMTL(hf_cfg, num_tasks=3, fusion_dim=32, head_hidden_dim=16)
+    oracle.eval()  # dropout off; grads still flow
+    cfg = CLIPConfig.from_hf(hf_cfg)
+    params = mtl_model_from_torch(oracle.state_dict(), "clip", num_tasks=3, clip_cfg=cfg)
+    model = MultiTaskModel.create(
+        "clip", num_tasks=3, fusion_dim=32, head_hidden_dim=16, clip_config=cfg
+    )
+
+    B = 4
+    ids, mask, px = _inputs(10, B, 77, 900, 999, 32)
+    ones = np.ones((B,), np.float32)
+    labels = (np.random.default_rng(11).random((B, 3)) < 0.4).astype(np.float32)
+    pw = np.array([1.5, 0.8, 2.0], np.float32)
+
+    logits_t = oracle(
+        torch.tensor(ids), torch.tensor(mask), torch.tensor(px),
+        torch.tensor(ones), torch.tensor(ones),
+    )
+    per_task = [
+        F.binary_cross_entropy_with_logits(
+            logits_t[:, j], torch.tensor(labels[:, j]),
+            pos_weight=torch.tensor(pw[j]),
+        )
+        for j in range(3)
+    ]
+    loss_t = torch.stack(per_task).mean()
+    loss_t.backward()
+    grad_sd = {
+        name: (p.grad if p.grad is not None else torch.zeros_like(p))
+        for name, p in oracle.named_parameters()
+    }
+    ref_grads = mtl_model_from_torch(grad_sd, "clip", num_tasks=3, clip_cfg=cfg)
+
+    batch = {
+        "input_ids": ids, "attention_mask": mask, "pixel_values": px,
+        "text_present": ones, "image_present": ones, "labels": labels,
+    }
+    loss_j, grads = jax.value_and_grad(
+        lambda p: model.apply(p, batch, pos_weight=jnp.asarray(pw))["loss"]
+    )(params)
+    assert abs(float(loss_j) - float(loss_t)) < 1e-6
+
+    ref_flat = {
+        jax.tree_util.keystr(p): l
+        for p, l in jax.tree_util.tree_leaves_with_path(ref_grads)
+    }
+    for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(ref_flat[key]),
+            atol=3e-6, rtol=1e-4, err_msg=key,
+        )
