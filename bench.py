@@ -31,7 +31,7 @@ import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 381.5  # reference clip_fusion test throughput
 N_SAMPLES = 10_176  # 53 batches of 192 (VMEM-sweet-spot batch, measured sweep)
-BATCH = 192
+BATCH = int(os.environ.get("BENCH_BATCH", "192"))  # sweep knob
 SEQ = 77
 N_STAGED = 4  # distinct staged batches rotated through the run
 PASSES = 3
