@@ -179,3 +179,108 @@ def test_multihost_assembly_matches_device_put():
     b = jax.device_put(x, sharding)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert a.sharding.spec == b.sharding.spec
+
+
+@pytest.mark.slow
+def test_train_cli_runs_4x2_tensor_parallel(tmp_path):
+    """mmharm-train on a 4x2 (data x model) mesh via --parallel.model 2:
+    the full CLI path (config -> Trainer -> sharded params) trains, and the
+    eval metrics match a pure-DP run of the same config bit-for-bit-ish."""
+    import json
+
+    from multimodal_content_moderation_tpu.cli import train as train_cli
+    from multimodal_content_moderation_tpu.data.tokenizer import (
+        bytes_to_unicode,
+        load_tokenizer,  # noqa: F401  (vocab assets built below)
+    )
+
+    d = tmp_path
+    b2u = bytes_to_unicode()
+    vocab = {}
+    for ch in b2u.values():
+        vocab[ch] = len(vocab)
+    for ch in b2u.values():
+        vocab[ch + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    with open(d / "vocab.json", "w") as f:
+        json.dump(vocab, f)
+    with open(d / "merges.txt", "w") as f:
+        f.write("#version: 0.2\n")
+    # encoder config consumed by model_io.load_encoder_config
+    hf_cfg = {
+        "model_type": "clip",
+        "projection_dim": 32,
+        "text_config": {
+            "vocab_size": len(vocab), "hidden_size": 32,
+            "num_hidden_layers": 1, "num_attention_heads": 2,
+            "intermediate_size": 64, "max_position_embeddings": 16,
+            "eos_token_id": vocab["<|endoftext|>"],
+        },
+        "vision_config": {
+            "hidden_size": 32, "num_hidden_layers": 1,
+            "num_attention_heads": 2, "intermediate_size": 64,
+            "image_size": 16, "patch_size": 8,
+        },
+    }
+    with open(d / "config.json", "w") as f:
+        json.dump(hf_cfg, f)
+    with open(d / "preprocessor_config.json", "w") as f:
+        json.dump(
+            {
+                "size": {"shortest_edge": 16},
+                "crop_size": {"height": 16, "width": 16},
+                "image_mean": [0.5, 0.5, 0.5],
+                "image_std": [0.5, 0.5, 0.5],
+            },
+            f,
+        )
+
+    import pandas as pd
+
+    rows = [
+        {"text": "aa aa" if i % 2 == 0 else "bb bb", "image_path": "",
+         "labels": "racist" if i % 2 == 0 else "sexist"}
+        for i in range(32)
+    ]
+    pd.DataFrame(rows).to_csv(d / "train.csv", index=False)
+    pd.DataFrame(rows[:16]).to_csv(d / "val.csv", index=False)
+
+    cfg = f"""
+model:
+  backend: clip
+  head: fusion
+  encoder_dir: {d}
+  fusion_dim: 16
+  max_text_length: 16
+data:
+  train_csv: {d}/train.csv
+  val_csv: {d}/val.csv
+  class_names: [racist, sexist]
+training:
+  per_device_train_batch_size: 16
+  per_device_eval_batch_size: 16
+  num_train_epochs: 1
+  num_workers: 2
+early_stopping:
+  enabled: false
+seed: 0
+"""
+    cfg_path = d / "cfg.yaml"
+    cfg_path.write_text(cfg)
+
+    def run(out, model_axis):
+        res = train_cli.main(
+            [
+                "--config", str(cfg_path),
+                "--saving.output_dir", out,
+                "--parallel.model", str(model_axis),
+            ]
+        )
+        return res["val"]
+
+    val_tp = run(str(d / "tp"), 2)
+    val_dp = run(str(d / "dp"), 1)
+    assert np.isfinite(val_tp["loss"])
+    assert val_tp["loss"] == pytest.approx(val_dp["loss"], abs=1e-4)
+    assert val_tp["roc_macro"] == pytest.approx(val_dp["roc_macro"], abs=1e-3)
