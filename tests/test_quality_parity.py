@@ -66,3 +66,30 @@ def test_cli_exit_code(encoder_dir, data_dir, tmp_path, capsys):
     )
     assert rc == 0
     assert out.exists()
+
+
+@pytest.mark.slow
+def test_locked_mode_quality_parity_mtl(encoder_dir, data_dir):
+    """Locked-mode parity for the MTL head (the reference's best-published
+    configuration), incl. hidden task heads."""
+    import quality_parity
+
+    report = quality_parity.run(
+        encoder_dir=encoder_dir,
+        train_csv=f"{data_dir}/train.csv",
+        val_csv=f"{data_dir}/val.csv",
+        image_root=f"{data_dir}/images",
+        class_names=["racist", "sexist", "homophobe", "religion", "otherhate"],
+        mode="locked",
+        epochs=1,
+        batch_size=8,
+        fusion_dim=16,
+        head="mtl",
+        head_hidden_dim=8,
+        max_text_length=16,
+        lr=1e-3,
+    )
+    assert report["head"] == "mtl"
+    assert report["max_step_loss_delta"] < 1e-4
+    assert report["delta"]["f1_macro"] <= 0.005
+    assert report["delta"]["roc_macro"] <= 0.005

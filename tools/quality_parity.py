@@ -87,6 +87,64 @@ def build_torch_fusion(encoder_dir: str, num_labels: int, fusion_dim: int, seed:
     return TorchFusion()
 
 
+def build_torch_mtl(
+    encoder_dir: str, num_tasks: int, fusion_dim: int, head_hidden_dim: int, seed: int
+):
+    """Reference-shaped torch MTL classifier (tower_txt/tower_img pooler
+    outputs + shared trunk + per-task heads, src/models/multitask.py)."""
+    import torch
+    import torch.nn as nn
+    import transformers
+
+    class TorchMTL(nn.Module):
+        def __init__(self):
+            super().__init__()
+            cfg = transformers.CLIPConfig.from_pretrained(encoder_dir)
+            self.tower_txt = transformers.CLIPTextModel.from_pretrained(encoder_dir)
+            self.tower_img = transformers.CLIPVisionModel.from_pretrained(encoder_dir)
+            tdim = cfg.text_config.hidden_size
+            idim = cfg.vision_config.hidden_size
+            self.proj_t = nn.Linear(tdim, fusion_dim)
+            self.proj_i = nn.Linear(idim, fusion_dim)
+            self.g_t = nn.Linear(fusion_dim, fusion_dim)
+            self.g_i = nn.Linear(fusion_dim, fusion_dim)
+            self.gate = nn.Linear(fusion_dim * 2 + 2, fusion_dim)
+            self.shared_head = nn.Sequential(
+                nn.Dropout(0.2), nn.Linear(fusion_dim, fusion_dim),
+                nn.GELU(), nn.Dropout(0.2),
+            )
+
+            def make_head():
+                if head_hidden_dim > 0:
+                    return nn.Sequential(
+                        nn.Linear(fusion_dim, head_hidden_dim), nn.GELU(),
+                        nn.Dropout(0.1), nn.Linear(head_hidden_dim, 1),
+                    )
+                return nn.Linear(fusion_dim, 1)
+
+            self.heads = nn.ModuleList([make_head() for _ in range(num_tasks)])
+
+        def forward(self, ids, mask, px, tpres, ipres):
+            import torch
+
+            tfeat = self.tower_txt(input_ids=ids, attention_mask=mask).pooler_output
+            vfeat = self.tower_img(pixel_values=px).pooler_output
+            tp, vp = self.proj_t(tfeat), self.proj_i(vfeat)
+            presence = torch.stack([tpres, ipres], dim=1)
+            zt, zi = torch.tanh(self.g_t(tp)), torch.tanh(self.g_i(vp))
+            g = torch.sigmoid(self.gate(torch.cat([tp, vp, presence], dim=1)))
+            fused = torch.where(
+                (ipres < 0.5).unsqueeze(1),
+                zt,
+                torch.where((tpres < 0.5).unsqueeze(1), zi, g * zt + (1 - g) * zi),
+            )
+            shared = self.shared_head(fused)
+            return torch.stack([h(shared).squeeze(-1) for h in self.heads], dim=1)
+
+    torch.manual_seed(seed)
+    return TorchMTL()
+
+
 def epoch_orders(n: int, epochs: int, seed: int):
     return [
         np.random.default_rng(seed + e).permutation(n) for e in range(epochs)
@@ -197,6 +255,8 @@ def run(
     fusion_dim: int = 32,
     max_text_length: int = 77,
     seed: int = 0,
+    head: str = "fusion",
+    head_hidden_dim: int = 0,
 ) -> dict:
     from multimodal_content_moderation_tpu.cli.common import image_stats_from_dir
     from multimodal_content_moderation_tpu.data.dataset import CSVDataset
@@ -224,25 +284,39 @@ def run(
     train_ds, val_ds = mk(train_csv), mk(val_csv)
     orders = epoch_orders(len(train_ds), epochs, seed)
 
-    oracle = build_torch_fusion(encoder_dir, len(class_names), fusion_dim, seed)
     hf_cfg = transformers.CLIPConfig.from_pretrained(encoder_dir)
     cfg = CLIPConfig.from_hf(hf_cfg)
-    jmodel = FusionModel.create(
-        "clip", num_labels=len(class_names), fusion_dim=fusion_dim, clip_config=cfg
-    )
+    if head == "mtl":
+        from multimodal_content_moderation_tpu.models import MultiTaskModel
+        from multimodal_content_moderation_tpu.models.convert import (
+            mtl_model_from_torch,
+        )
+
+        oracle = build_torch_mtl(
+            encoder_dir, len(class_names), fusion_dim, head_hidden_dim, seed
+        )
+        jmodel = MultiTaskModel.create(
+            "clip", num_tasks=len(class_names), fusion_dim=fusion_dim,
+            head_hidden_dim=head_hidden_dim, clip_config=cfg,
+        )
+        convert = lambda sd: mtl_model_from_torch(
+            sd, "clip", num_tasks=len(class_names), clip_cfg=cfg
+        )
+    else:
+        oracle = build_torch_fusion(encoder_dir, len(class_names), fusion_dim, seed)
+        jmodel = FusionModel.create(
+            "clip", num_labels=len(class_names), fusion_dim=fusion_dim,
+            clip_config=cfg,
+        )
+        convert = lambda sd: fusion_model_from_torch(sd, "clip", clip_cfg=cfg)
+
     if mode == "locked":
-        jparams = fusion_model_from_torch(oracle.state_dict(), "clip", clip_cfg=cfg)
+        jparams = convert(oracle.state_dict())
         dropout_off = True
     else:
         jparams = jmodel.init(jax.random.key(seed + 1))
         # encoders still start from the pretrained weights on both sides
-        from multimodal_content_moderation_tpu.models.convert import (
-            clip_params_from_torch,
-        )
-
-        jparams["backbone"] = clip_params_from_torch(
-            oracle.backbone.state_dict(), cfg
-        )
+        jparams["backbone"] = convert(oracle.state_dict())["backbone"]
         dropout_off = False
 
     t_losses, t_logits, labels = train_torch(
@@ -258,6 +332,7 @@ def run(
     j_metrics = cm((j_logits, labels))
     report = {
         "mode": mode,
+        "head": head,
         "steps": len(t_losses),
         "torch": {k: float(v) for k, v in t_metrics.items()},
         "jax": {k: float(v) for k, v in j_metrics.items()},
@@ -289,6 +364,8 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--weight_decay", type=float, default=0.01)
     ap.add_argument("--fusion_dim", type=int, default=32)
+    ap.add_argument("--head", choices=["fusion", "mtl"], default="fusion")
+    ap.add_argument("--head_hidden_dim", type=int, default=0)
     ap.add_argument("--max_text_length", type=int, default=77)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tolerance", type=float, default=0.005,
@@ -300,6 +377,7 @@ def main(argv=None):
         args.encoder_dir, args.train_csv, args.val_csv, args.image_root, names,
         args.mode, args.epochs, args.batch_size, args.lr, args.weight_decay,
         args.fusion_dim, args.max_text_length, args.seed,
+        head=args.head, head_hidden_dim=args.head_hidden_dim,
     )
     print(json.dumps(report, indent=2))
     if args.output:
