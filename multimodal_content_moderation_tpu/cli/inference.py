@@ -134,25 +134,32 @@ class MultiModalClassifier:
                     )
                     for k, v in batch.items()
                 }
-            if self.engine is not None:
-                patches = self.engine.patches_from_hwc(batch["pixel_values"])
-                logits = np.asarray(
-                    self.engine(
-                        batch["input_ids"],
-                        batch["attention_mask"],
-                        patches,
-                        batch["text_present"],
-                        batch["image_present"],
-                    )
-                )
-            else:
-                logits = np.asarray(self._forward(self.params, batch))
-            out[s : s + valid] = logits[:valid]
+            out[s : s + valid] = self.forward_batch(batch, valid)
         if self.logit_adjustment and self.priors:
             from multimodal_content_moderation_tpu.ops.losses import logit_adjust
 
             out = logit_adjust(out, self.priors)
         return out
+
+    def forward_batch(self, batch: Dict[str, np.ndarray], valid: int) -> np.ndarray:
+        """One fixed-shape batch -> logits[:valid]. ``batch['pixel_values']``
+        carries whatever ``self.preproc`` produces (u8 HWC crops on the fast
+        engine, normalized fp32 NCHW otherwise); this picks the right device
+        path. Shared by the API and the serving handler."""
+        if self.engine is not None:
+            patches = self.engine.patches_from_hwc(batch["pixel_values"])
+            logits = np.asarray(
+                self.engine(
+                    batch["input_ids"],
+                    batch["attention_mask"],
+                    patches,
+                    batch["text_present"],
+                    batch["image_present"],
+                )
+            )
+        else:
+            logits = np.asarray(self._forward(self.params, batch))
+        return logits[:valid]
 
     # -- public API -------------------------------------------------------
 

@@ -114,7 +114,11 @@ def predict_fn(instances: List[Dict[str, Any]], classifier) -> List[Dict[str, An
                 k: np.concatenate([v, np.zeros((pad,) + v.shape[1:], v.dtype)])
                 for k, v in batch.items()
             }
-        logits = np.asarray(classifier._forward(classifier.params, batch))[:valid]
+        logits = classifier.forward_batch(batch, valid)
+        if classifier.logit_adjustment and classifier.priors:
+            from multimodal_content_moderation_tpu.ops.losses import logit_adjust
+
+            logits = logit_adjust(logits, classifier.priors)
         probs = 1.0 / (1.0 + np.exp(-logits))
         for row in probs:
             class_predictions = {
@@ -182,3 +186,32 @@ class BatchTransformHandler:
         with open(output_path, "w", encoding="utf-8") as f:
             for r in results:
                 f.write(r + "\n")
+
+
+def _local_test_main(argv=None):
+    """Local smoke of the endpoint contract without a SageMaker runtime
+    (reference sagemaker/inference.py:395-424)."""
+    import argparse
+    import base64
+    import os
+
+    parser = argparse.ArgumentParser(description="Test the serving handler locally")
+    parser.add_argument("--model-dir", required=True)
+    parser.add_argument("--encoder-dir", default=None)
+    parser.add_argument("--text", default="Test content")
+    parser.add_argument("--image", default=None)
+    args = parser.parse_args(argv)
+
+    artifacts = model_fn(args.model_dir, args.encoder_dir)
+    instance = {"text": args.text}
+    if args.image and os.path.exists(args.image):
+        with open(args.image, "rb") as f:
+            instance["image_base64"] = base64.b64encode(f.read()).decode("utf-8")
+    body = json.dumps({"instances": [instance]})
+    result = predict_fn(input_fn(body), artifacts)
+    print(output_fn(result))
+    return result
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _local_test_main()

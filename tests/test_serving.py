@@ -190,3 +190,41 @@ def test_model_fn_env_engine(trained_run, monkeypatch):
             a["predictions"][name]["probability"]
             - b["predictions"][name]["probability"]
         ) < 1e-3
+
+
+def test_handler_predict_fn_fast_engine(trained_run, data_dir, monkeypatch):
+    """The full endpoint path (input_fn -> predict_fn -> output_fn) must work
+    and agree with the standard engine when MMHARM_ENGINE=fast."""
+    import base64
+
+    from multimodal_content_moderation_tpu.serving.handler import (
+        input_fn,
+        model_fn,
+        output_fn,
+        predict_fn,
+    )
+
+    _, result = trained_run
+    ckpt = result["result"]["best_checkpoint"]
+    with open(os.path.join(data_dir, "images", "im0.png"), "rb") as f:
+        b64 = base64.b64encode(f.read()).decode()
+    body = json.dumps(
+        {"instances": [
+            {"text": "hate hate hate", "image": b64},
+            {"text": "love love love"},  # degraded: no image
+        ]}
+    )
+
+    clf_std = model_fn(ckpt)
+    monkeypatch.setenv("MMHARM_ENGINE", "fast")
+    clf_fast = model_fn(ckpt)
+    assert clf_fast.engine is not None
+
+    preds_std = predict_fn(input_fn(body), clf_std)
+    preds_fast = predict_fn(input_fn(body), clf_fast)
+    assert len(preds_std) == len(preds_fast) == 2
+    for a, b in zip(preds_std, preds_fast):
+        for name in a["probabilities"]:
+            assert abs(a["probabilities"][name] - b["probabilities"][name]) < 1e-3
+    out = json.loads(output_fn(preds_fast))
+    assert "predictions" in out and len(out["predictions"]) == 2

@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--n_samples", type=int, default=4800)
     ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument(
+        "--vision_attention", choices=["xla", "pallas"], default="xla",
+        help="attention core for the vision tower (pallas = fused flash "
+        "kernel; candidate win at SigLIP's 196 patch tokens)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -56,7 +61,13 @@ def main():
     bf = lambda c: dataclasses.replace(
         c, compute_dtype="bfloat16", scores_dtype="bfloat16"
     )
-    cfg = dataclasses.replace(cfg, text=bf(cfg.text), vision=bf(cfg.vision))
+    cfg = dataclasses.replace(
+        cfg,
+        text=bf(cfg.text),
+        vision=dataclasses.replace(
+            bf(cfg.vision), attention_impl=args.vision_attention
+        ),
+    )
     field = "clip_config" if args.backend == "clip" else "siglip_config"
     model = dataclasses.replace(model, **{field: cfg})
     params = to_dtype(model.init(jax.random.key(0)), jnp.bfloat16)

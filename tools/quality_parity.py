@@ -18,8 +18,9 @@ Two modes:
 
 Both sides consume OUR input pipeline (CSVDataset batches), so the data is
 bit-identical and the comparison isolates model+optimizer behavior. The
-torch side is a compact re-derivation of the reference architecture
-(src/models/fusion.py:55-229) trained with plain AdamW + BCE, mirroring the
+torch side re-derives the reference architectures (``--head fusion`` =
+src/models/fusion.py:55-229; ``--head mtl`` = src/models/multitask.py:16-227
+incl. hidden task heads) trained with plain AdamW + BCE, mirroring the
 reference's effective configuration (single LR — its two-LR knob was
 cosmetic, scripts/train.py:273).
 """
