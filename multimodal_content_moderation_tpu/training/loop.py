@@ -328,6 +328,10 @@ class Trainer:
             )
             patch_size = vcfg.patch_size
 
+        from multimodal_content_moderation_tpu.utils.profiling import StepTimer
+
+        timer = StepTimer(warmup=1)
+
         for epoch in range(self.start_epoch, args.num_train_epochs):
             indices = self._epoch_indices(epoch)
             losses = []
@@ -360,12 +364,21 @@ class Trainer:
                     self.params, self.opt_state, self.rng, dev
                 )
                 step += 1
+                timer.tick()
                 if step % args.logging_steps == 0:
                     loss_val = float(loss)
                     losses.append(loss_val)
-                    logger.info("step %d/%d loss %.4f", step, self.total_steps, loss_val)
+                    sps = timer.samples_per_second(
+                        args.per_device_train_batch_size
+                    )
+                    logger.info(
+                        "step %d/%d loss %.4f (%.1f samples/s, %.0f ms/step)",
+                        step, self.total_steps, loss_val, sps,
+                        timer.mean_step_seconds * 1000,
+                    )
                     if self.writer:
                         self.writer.scalar("train/loss", loss_val, step)
+                        self.writer.scalar("train/samples_per_second", sps, step)
                 if 0 < args.max_steps <= step:
                     break
 
@@ -432,5 +445,9 @@ class Trainer:
             "best_metric": self.best_metric,
             "best_checkpoint": self.best_checkpoint,
             "train_runtime": time.time() - t_start,
+            # HF-Trainer-style rolling throughput (steady-state, warmup skipped)
+            "train_samples_per_second": timer.samples_per_second(
+                args.per_device_train_batch_size
+            ),
             "global_step": step,
         }
