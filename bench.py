@@ -48,8 +48,17 @@ def bench_e2e(engine) -> dict:
     """Full-pipeline throughput on MMHS-shaped data: every row is read from
     a CSV, its JPEG decoded + shortest-edge-resized + center-cropped on the
     host, shipped as u8 patch rows, and classified on the chip."""
+    import shutil
     import tempfile
 
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    try:
+        return _bench_e2e_in(engine, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _bench_e2e_in(engine, tmp: str) -> dict:
     from PIL import Image
 
     from multimodal_content_moderation_tpu.data.dataset import CSVDataset
@@ -66,7 +75,6 @@ def bench_e2e(engine) -> dict:
         evaluate_logits_u8,
     )
 
-    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
     # byte-level BPE assets (real tokenizer machinery; merges don't change
     # the per-row cost profile for tweet-length text)
     b2u = bytes_to_unicode()

@@ -135,14 +135,11 @@ class MultiModalClassifier:
                     for k, v in batch.items()
                 }
             out[s : s + valid] = self.forward_batch(batch, valid)
-        if self.logit_adjustment and self.priors:
-            from multimodal_content_moderation_tpu.ops.losses import logit_adjust
-
-            out = logit_adjust(out, self.priors)
         return out
 
     def forward_batch(self, batch: Dict[str, np.ndarray], valid: int) -> np.ndarray:
-        """One fixed-shape batch -> logits[:valid]. ``batch['pixel_values']``
+        """One fixed-shape batch -> logits[:valid], with post-hoc logit
+        adjustment applied when the config enables it. ``batch['pixel_values']``
         carries whatever ``self.preproc`` produces (u8 HWC crops on the fast
         engine, normalized fp32 NCHW otherwise); this picks the right device
         path. Shared by the API and the serving handler."""
@@ -159,7 +156,12 @@ class MultiModalClassifier:
             )
         else:
             logits = np.asarray(self._forward(self.params, batch))
-        return logits[:valid]
+        logits = logits[:valid]
+        if self.logit_adjustment and self.priors:
+            from multimodal_content_moderation_tpu.ops.losses import logit_adjust
+
+            logits = logit_adjust(logits, self.priors)
+        return logits
 
     # -- public API -------------------------------------------------------
 

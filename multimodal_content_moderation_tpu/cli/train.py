@@ -286,6 +286,13 @@ def main(argv=None) -> Dict[str, Any]:
             )
 
     logits, labels = trainer.predict(val_ds)
+    priors = [float(p) for p in np.asarray(train_ds.labels).mean(axis=0)]
+    if loss_cfg.get("use_logit_adjustment", False):
+        # calibrate in the SAME adjusted space the serving paths score in
+        # (evaluate/inference/handler apply logit_adjust before thresholds)
+        from multimodal_content_moderation_tpu.ops.losses import logit_adjust
+
+        logits = logit_adjust(logits, priors)
     probs = 1 / (1 + np.exp(-logits))
     cal = eval_cfg.get("calibration", {})
     thresholds = calibrate_thresholds(
@@ -309,7 +316,7 @@ def main(argv=None) -> Dict[str, Any]:
         "class_names": class_names,
         "best_checkpoint_dir": result["best_checkpoint"],
         "use_logit_adjustment": loss_cfg.get("use_logit_adjustment", False),
-        "priors": [float(p) for p in np.asarray(train_ds.labels).mean(axis=0)],
+        "priors": priors,
         "format": "orbax",
     }
     save_json(inference_config, os.path.join(output_dir, "inference_config.json"))

@@ -184,20 +184,9 @@ class FusionModel:
         return {"backbone": backbone, "head": head}
 
     def _embed_u8(self, bp: dict, patches_u8: jnp.ndarray) -> jnp.ndarray:
-        from multimodal_content_moderation_tpu.models.u8wire import (
-            default_stats,
-            embed_patches_u8,
-        )
+        from multimodal_content_moderation_tpu.models.u8wire import embed_for_model
 
-        vcfg = (
-            self.clip_config.vision if self.backend == "clip"
-            else self.siglip_config.vision
-        )
-        dmean, dstd = default_stats(self.backend)
-        return embed_patches_u8(
-            bp, patches_u8, vcfg,
-            self.image_mean or dmean, self.image_std or dstd, self.embed_impl,
-        )
+        return embed_for_model(self, bp, patches_u8)
 
     def encode(
         self, params: dict, batch: Dict[str, jnp.ndarray]

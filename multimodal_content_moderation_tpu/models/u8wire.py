@@ -35,6 +35,23 @@ def default_stats(backend: str):
     return (CLIP_MEAN, CLIP_STD) if backend == "clip" else (SIGLIP_MEAN, SIGLIP_STD)
 
 
+def embed_for_model(model, backbone: dict, patches_u8: jnp.ndarray) -> jnp.ndarray:
+    """Model-aware u8 embed: resolves the vision config and normalization
+    stats (model fields or per-backend defaults) and embeds the patch rows.
+    Shared by FusionModel and MultiTaskModel — the single dispatch point."""
+    clip = model.backend == "clip"
+    vcfg = model.clip_config.vision if clip else model.siglip_config.vision
+    dmean, dstd = default_stats("clip" if clip else "siglip")
+    return embed_patches_u8(
+        backbone,
+        patches_u8,
+        vcfg,
+        model.image_mean or dmean,
+        model.image_std or dstd,
+        model.embed_impl,
+    )
+
+
 def embed_patches_u8(
     backbone: dict,
     patches_u8: jnp.ndarray,

@@ -51,19 +51,25 @@ def _path_str(path) -> str:
 
 def _spec_for(path: str, ndim: int) -> Optional[tuple]:
     """(axis_index, ...) partition spec template for a param path, or None
-    for replication. Returns a tuple of axis names/None of length ndim."""
+    for replication. Returns a tuple of axis names/None of length ndim.
+
+    Rules apply only inside the transformer block stack (``.../layers/<i>/``):
+    head params like ``head/cls_fc1`` or ``head/heads/0/fc1`` are tiny and
+    must replicate, so a bare ``fc1`` suffix match would be wrong."""
+    if "layers/" not in path:
+        if path.endswith("token_embedding") and ndim == 2:
+            return (MODEL_AXIS, None)  # vocab-axis sharding
+        return None
     if path.endswith("/w"):
         stem = path[: -len("/w")]
-        if stem.endswith(("attn/q", "attn/k", "attn/v", "fc1")) and ndim == 2:
+        if stem.endswith(("attn/q", "attn/k", "attn/v", "/fc1")) and ndim == 2:
             return (None, MODEL_AXIS)  # column-parallel: shard outputs
-        if stem.endswith(("attn/o", "fc2")) and ndim == 2:
+        if stem.endswith(("attn/o", "/fc2")) and ndim == 2:
             return (MODEL_AXIS, None)  # row-parallel: shard inputs
     elif path.endswith("/b"):
         stem = path[: -len("/b")]
-        if stem.endswith(("attn/q", "attn/k", "attn/v", "fc1")) and ndim == 1:
+        if stem.endswith(("attn/q", "attn/k", "attn/v", "/fc1")) and ndim == 1:
             return (MODEL_AXIS,)  # bias follows the column-parallel outputs
-    elif path.endswith("token_embedding") and ndim == 2:
-        return (MODEL_AXIS, None)  # vocab-axis sharding
     return None
 
 

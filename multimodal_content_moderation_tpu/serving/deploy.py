@@ -336,9 +336,13 @@ class SageMakerBatchTransform:
         env: Optional[Dict[str, str]] = None,
         wait: bool = True,
     ) -> str:
-        """Create the model (if needed) and run one transform job; returns
-        the output S3 URI (same contract as reference ``run``)."""
-        job_name = job_name or "mmharm-batch-transform"
+        """Create this job's model and run one transform job; returns the
+        output S3 URI (same contract as reference ``run``). Job/model names
+        must be unique per AWS account, so the default gets a random suffix."""
+        if job_name is None:
+            import uuid
+
+            job_name = f"mmharm-batch-transform-{uuid.uuid4().hex[:8]}"
         model_name = f"{job_name}-model"
         self.client.create_model(
             **build_model_spec(

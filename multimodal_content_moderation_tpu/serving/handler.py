@@ -64,8 +64,9 @@ def _decode_image(instance: Dict[str, Any]) -> Optional[Image.Image]:
     """base64 ``image`` or ``image_url`` -> PIL image; failures -> None
     (degraded modality, reference sagemaker/inference.py:301-331)."""
     try:
-        if instance.get("image"):
-            raw = base64.b64decode(instance["image"])
+        b64 = instance.get("image") or instance.get("image_base64")
+        if b64:  # both keys accepted (reference uses "image_base64")
+            raw = base64.b64decode(b64)
             return Image.open(io.BytesIO(raw)).convert("RGB")
         if instance.get("image_url"):
             import urllib.request
@@ -115,10 +116,6 @@ def predict_fn(instances: List[Dict[str, Any]], classifier) -> List[Dict[str, An
                 for k, v in batch.items()
             }
         logits = classifier.forward_batch(batch, valid)
-        if classifier.logit_adjustment and classifier.priors:
-            from multimodal_content_moderation_tpu.ops.losses import logit_adjust
-
-            logits = logit_adjust(logits, classifier.priors)
         probs = 1.0 / (1.0 + np.exp(-logits))
         for row in probs:
             class_predictions = {

@@ -333,6 +333,8 @@ class Trainer:
         timer = StepTimer(warmup=1)
 
         for epoch in range(self.start_epoch, args.num_train_epochs):
+            # the eval/checkpoint pause between epochs is not a train step
+            timer.reset_clock()
             indices = self._epoch_indices(epoch)
             losses = []
 

@@ -49,6 +49,11 @@ class StepTimer:
         self._count = 0
         self._last: Optional[float] = None
 
+    def reset_clock(self) -> None:
+        """Forget the last tick (call after eval/checkpoint pauses so the gap
+        is not recorded as a step); rolling stats are kept."""
+        self._last = None
+
     def tick(self) -> None:
         now = time.perf_counter()
         if self._last is not None:

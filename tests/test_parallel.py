@@ -284,3 +284,23 @@ seed: 0
     assert np.isfinite(val_tp["loss"])
     assert val_tp["loss"] == pytest.approx(val_dp["loss"], abs=1e-4)
     assert val_tp["roc_macro"] == pytest.approx(val_dp["roc_macro"], abs=1e-3)
+
+
+def test_head_params_replicate_under_tp(model_and_params):
+    """Classifier-head fc1/fc2 (cls_fc1, MTL heads/j/fc1) must NOT match the
+    block-stack sharding rules — heads are tiny and replicate."""
+    model, params = model_and_params
+    mesh = build_mesh(4, 2)
+    placed = shard_params(jax.tree_util.tree_map(jnp.asarray, params), mesh)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(placed["head"]):
+        assert leaf.sharding.spec == P(), jax.tree_util.keystr(path)
+    # MTL hidden task heads replicate too
+    from multimodal_content_moderation_tpu.models import MultiTaskModel
+
+    mtl = MultiTaskModel.create(
+        "clip", num_tasks=2, fusion_dim=16, head_hidden_dim=8,
+        clip_config=tiny_model().clip_config,
+    )
+    mtl_placed = shard_params(mtl.init(jax.random.key(1)), mesh)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(mtl_placed["head"]):
+        assert leaf.sharding.spec == P(), jax.tree_util.keystr(path)
