@@ -9,13 +9,17 @@ Two kernels, selected by sequence length:
   ~380 MB/layer round-trip at B=500, T=77).
 - ``flash_attention``: blockwise online-softmax (flash-style) for long
   sequences — the headroom path for higher-resolution ViTs / longer text
-  (SURVEY.md §5 long-context note). Grid (BH, Tq/blk); K/V stream in blocks
-  with running max/denominator rescaling.
+  (SURVEY.md §5 long-context note). Grid (BH, Tq/blk, S/blk); K/V stream in
+  blocks with running max/denominator rescaling.
 
-Both support an additive fp32 mask (causal and/or padding, same convention
-as ops/layers.mha) and fp32 softmax statistics. Parity vs the jnp reference
-is tested in interpret mode; ``fused_mha`` dispatches by shape and is a
-drop-in replacement for ``ops.layers.mha``'s inner attention.
+Both kernels have mask-free variants: materializing a dense [B*H, T, S] fp32
+mask costs more HBM traffic than the attention itself at long sequence
+(6.4 GB at B=8, H=12, T=S=4096 — measured 6.5x slowdown), so unmasked
+attention (every ViT tower) never touches a mask tensor. Masked attention
+takes an additive fp32 mask (causal and/or padding, same convention as
+ops/layers.mha) with fp32 softmax statistics. Parity vs the jnp reference is
+tested in interpret mode; ``fused_mha`` dispatches by shape and is a drop-in
+replacement for ``ops.layers.mha``'s inner attention.
 """
 
 from __future__ import annotations
@@ -31,18 +35,27 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -3.4028235e38
 
 
-def _small_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale: float):
+def _small_body(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale: float):
     q = q_ref[0].astype(jnp.float32)  # [T, dh]
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [T, T]
-    s = s + m_ref[0]
+    if m_ref is not None:
+        s = s + m_ref[0]
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
     o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _small_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale: float):
+    _small_body(q_ref, k_ref, v_ref, m_ref, o_ref, scale=scale)
+
+
+def _small_kernel_nomask(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    _small_body(q_ref, k_ref, v_ref, None, o_ref, scale=scale)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -50,34 +63,39 @@ def attention_small(
     q: jnp.ndarray,  # [BH, T, dh]
     k: jnp.ndarray,
     v: jnp.ndarray,
-    mask: jnp.ndarray,  # [BH, T, T] additive fp32
+    mask: Optional[jnp.ndarray] = None,  # [BH, T, T] additive fp32
     interpret: bool = False,
 ) -> jnp.ndarray:
     BH, T, dh = q.shape
     scale = float(dh) ** -0.5
+    tile = lambda *shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [tile(T, dh), tile(T, dh), tile(T, dh)]
+    operands = [q, k, v]
+    if mask is not None:
+        in_specs.append(tile(T, T))
+        operands.append(mask)
+        kernel = functools.partial(_small_kernel, scale=scale)
+    else:
+        kernel = functools.partial(_small_kernel_nomask, scale=scale)
     return pl.pallas_call(
-        functools.partial(_small_kernel, scale=scale),
+        kernel,
         grid=(BH,),
-        in_specs=[
-            pl.BlockSpec((1, T, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, T, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
+        in_specs=in_specs,
+        out_specs=tile(T, dh),
         out_shape=jax.ShapeDtypeStruct((BH, T, dh), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * BH * T * T * dh,
-            bytes_accessed=BH * T * dh * 3 * q.dtype.itemsize + BH * T * T * 4,
+            bytes_accessed=BH * T * dh * 3 * q.dtype.itemsize
+            + (BH * T * T * 4 if mask is not None else 0),
             transcendentals=BH * T * T,
         ),
         interpret=interpret,
-    )(q, k, v, mask)
+    )(*operands)
 
 
-def _flash_kernel(
+def _flash_body(
     q_ref, k_ref, v_ref, m_ref, o_ref, acc_ref, row_max_ref, row_sum_ref,
     *, scale: float, kv_blocks: int
 ):
@@ -97,7 +115,8 @@ def _flash_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [bq, bk]
-    s = s + m_ref[0]
+    if m_ref is not None:
+        s = s + m_ref[0]
 
     prev_max = row_max_ref[...]  # [bq, 1]
     cur_max = jnp.max(s, axis=-1, keepdims=True)
@@ -116,6 +135,14 @@ def _flash_kernel(
         o_ref[0] = (acc_ref[...] / row_sum_ref[...]).astype(o_ref.dtype)
 
 
+def _flash_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, acc, rmax, rsum, **kw):
+    _flash_body(q_ref, k_ref, v_ref, m_ref, o_ref, acc, rmax, rsum, **kw)
+
+
+def _flash_kernel_nomask(q_ref, k_ref, v_ref, o_ref, acc, rmax, rsum, **kw):
+    _flash_body(q_ref, k_ref, v_ref, None, o_ref, acc, rmax, rsum, **kw)
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "interpret")
 )
@@ -123,7 +150,7 @@ def flash_attention(
     q: jnp.ndarray,  # [BH, T, dh]
     k: jnp.ndarray,  # [BH, S, dh]
     v: jnp.ndarray,
-    mask: jnp.ndarray,  # [BH, T, S] additive fp32
+    mask: Optional[jnp.ndarray] = None,  # [BH, T, S] additive fp32
     block_q: int = 128,
     block_k: int = 128,
     interpret: bool = False,
@@ -134,25 +161,36 @@ def flash_attention(
     scale = float(dh) ** -0.5
     kv_blocks = S // block_k
 
-    return pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_blocks=kv_blocks),
-        grid=(BH, T // block_q, kv_blocks),
-        in_specs=[
-            pl.BlockSpec(
-                (1, block_q, dh), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, block_k, dh), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, block_k, dh), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
-            ),
+    in_specs = [
+        pl.BlockSpec(
+            (1, block_q, dh), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, block_k, dh), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, block_k, dh), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    operands = [q, k, v]
+    kw = dict(scale=scale, kv_blocks=kv_blocks)
+    if mask is not None:
+        in_specs.append(
             pl.BlockSpec(
                 (1, block_q, block_k),
                 lambda b, i, j: (b, i, j),
                 memory_space=pltpu.VMEM,
-            ),
-        ],
+            )
+        )
+        operands.append(mask)
+        kernel = functools.partial(_flash_kernel, **kw)
+    else:
+        kernel = functools.partial(_flash_kernel_nomask, **kw)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(BH, T // block_q, kv_blocks),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, block_q, dh), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
         ),
@@ -163,7 +201,7 @@ def flash_attention(
             pltpu.VMEM((block_q, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, mask)
+    )(*operands)
 
 
 def fused_mha(
@@ -174,12 +212,15 @@ def fused_mha(
     small_threshold: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Shape-dispatching fused attention over [B, H, ...] inputs."""
+    """Shape-dispatching fused attention over [B, H, ...] inputs.
+
+    ``mask=None`` (every ViT tower) never materializes a mask tensor — at
+    long sequence the dense [B*H, T, S] fp32 mask would dominate HBM traffic.
+    """
     B, H, T, dh = q.shape
     S = k.shape[2]
-    if mask is None:
-        m = jnp.zeros((B * H, T, S), jnp.float32)
-    else:
+    m = None
+    if mask is not None:
         m = jnp.broadcast_to(mask.astype(jnp.float32), (B, H, T, S)).reshape(
             B * H, T, S
         )
@@ -195,9 +236,27 @@ def fused_mha(
             qf = jnp.pad(qf, ((0, 0), (0, pad_q), (0, 0)))
             kf = jnp.pad(kf, ((0, 0), (0, pad_k), (0, 0)))
             vf = jnp.pad(vf, ((0, 0), (0, pad_k), (0, 0)))
+            if m is None:
+                # padded keys MUST be masked out (they would otherwise enter
+                # the softmax); padded query rows are sliced off below
+                m = jnp.zeros((B * H, T, S), jnp.float32)
             m = jnp.pad(m, ((0, 0), (0, pad_q), (0, pad_k)), constant_values=NEG_INF)
-            # padded query rows: all-masked is fine, they are sliced off
-            out = flash_attention(qf, kf, vf, m, interpret=interpret)[:, :T]
-        else:
-            out = flash_attention(qf, kf, vf, m, interpret=interpret)
+        Tp, Sp = qf.shape[1], kf.shape[1]
+        # measured block heuristic (v5e, dh=64): large KV blocks amortize the
+        # MXU's 128-lane tile over the dh=64 contraction; 128x128 blocks were
+        # 5.9x slower at seq 4096 (grid overhead + tiny GEMMs)
+        block_k = _largest_divisor_block(Sp, 1024)
+        block_q = _largest_divisor_block(Tp, 1024 if Sp > 2048 else 256)
+        out = flash_attention(
+            qf, kf, vf, m, block_q=block_q, block_k=block_k, interpret=interpret
+        )[:, :T]
     return out.reshape(B, H, T, dh)
+
+
+def _largest_divisor_block(n: int, cap: int) -> int:
+    """Largest multiple-of-128 block <= cap that divides n (n is a multiple
+    of 128 after padding)."""
+    b = min(n, cap)
+    while n % b:
+        b -= 128
+    return max(b, 128)
