@@ -95,62 +95,100 @@ def attention_small(
     )(*operands)
 
 
-def _flash_body(
-    q_ref, k_ref, v_ref, m_ref, o_ref, acc_ref, row_max_ref, row_sum_ref,
-    *, scale: float, kv_blocks: int
+def _make_flash_kernel(
+    has_mask: bool,
+    has_key_mask: bool,
+    causal: bool,
+    scale: float,
+    kv_blocks: int,
+    block_q: int,
+    block_k: int,
 ):
-    """Online-softmax over K/V blocks. Grid: (BH, num_q_blocks, kv_blocks);
-    the kv axis is the innermost (fastest) grid dim."""
-    kv_idx = pl.program_id(2)
+    """Flash kernel specialized on its mask sources. Grid:
+    (BH, num_q_blocks, kv_blocks); the kv axis is the innermost grid dim.
 
-    @pl.when(kv_idx == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        row_max_ref[...] = jnp.full_like(row_max_ref, NEG_INF)
-        row_sum_ref[...] = jnp.zeros_like(row_sum_ref)
+    Mask sources compose: optional dense additive block [bq, bk], optional
+    key-padding additive row [1, bk], and a causal predicate computed from
+    block offsets IN-KERNEL (never a [T, S] tensor in HBM). Causal blocks
+    entirely above the diagonal are skipped (no MXU work)."""
 
-    q = q_ref[0].astype(jnp.float32)  # [bq, dh]
-    k = k_ref[0].astype(jnp.float32)  # [bk, dh]
-    v = v_ref[0].astype(jnp.float32)  # [bk, dh]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [bq, bk]
-    if m_ref is not None:
-        s = s + m_ref[0]
+    def kernel(*refs):
+        q_ref, k_ref, v_ref = refs[:3]
+        idx = 3
+        m_ref = refs[idx] if has_mask else None
+        idx += int(has_mask)
+        km_ref = refs[idx] if has_key_mask else None
+        idx += int(has_key_mask)
+        o_ref = refs[idx]
+        acc_ref, row_max_ref, row_sum_ref = refs[idx + 1 : idx + 4]
 
-    prev_max = row_max_ref[...]  # [bq, 1]
-    cur_max = jnp.max(s, axis=-1, keepdims=True)
-    new_max = jnp.maximum(prev_max, cur_max)
-    correction = jnp.exp(prev_max - new_max)
-    p = jnp.exp(s - new_max)  # [bq, bk]
+        q_idx = pl.program_id(1)
+        kv_idx = pl.program_id(2)
 
-    row_sum_ref[...] = row_sum_ref[...] * correction + jnp.sum(p, axis=-1, keepdims=True)
-    acc_ref[...] = acc_ref[...] * correction + jnp.dot(
-        p, v, preferred_element_type=jnp.float32
-    )
-    row_max_ref[...] = new_max
+        @pl.when(kv_idx == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            row_max_ref[...] = jnp.full_like(row_max_ref, NEG_INF)
+            row_sum_ref[...] = jnp.zeros_like(row_sum_ref)
 
-    @pl.when(kv_idx == kv_blocks - 1)
-    def _finish():
-        o_ref[0] = (acc_ref[...] / row_sum_ref[...]).astype(o_ref.dtype)
+        def _compute():
+            q = q_ref[0].astype(jnp.float32)  # [bq, dh]
+            k = k_ref[0].astype(jnp.float32)  # [bk, dh]
+            v = v_ref[0].astype(jnp.float32)  # [bk, dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale  # [bq, bk]
+            if m_ref is not None:
+                s = s + m_ref[0]
+            if km_ref is not None:
+                s = s + km_ref[0]  # [1, bk] broadcasts over rows
+            if causal:
+                rows = q_idx * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0
+                )
+                cols = kv_idx * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1
+                )
+                s = jnp.where(cols <= rows, s, NEG_INF)
 
+            prev_max = row_max_ref[...]  # [bq, 1]
+            cur_max = jnp.max(s, axis=-1, keepdims=True)
+            new_max = jnp.maximum(prev_max, cur_max)
+            correction = jnp.exp(prev_max - new_max)
+            p = jnp.exp(s - new_max)  # [bq, bk]
 
-def _flash_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, acc, rmax, rsum, **kw):
-    _flash_body(q_ref, k_ref, v_ref, m_ref, o_ref, acc, rmax, rsum, **kw)
+            row_sum_ref[...] = row_sum_ref[...] * correction + jnp.sum(
+                p, axis=-1, keepdims=True
+            )
+            acc_ref[...] = acc_ref[...] * correction + jnp.dot(
+                p, v, preferred_element_type=jnp.float32
+            )
+            row_max_ref[...] = new_max
 
+        if causal:
+            # kv blocks entirely above the diagonal contribute nothing:
+            # skip their MXU work (the q block's last row is its bound)
+            pl.when(kv_idx * block_k <= q_idx * block_q + block_q - 1)(_compute)
+        else:
+            _compute()
 
-def _flash_kernel_nomask(q_ref, k_ref, v_ref, o_ref, acc, rmax, rsum, **kw):
-    _flash_body(q_ref, k_ref, v_ref, None, o_ref, acc, rmax, rsum, **kw)
+        @pl.when(kv_idx == kv_blocks - 1)
+        def _finish():
+            o_ref[0] = (acc_ref[...] / row_sum_ref[...]).astype(o_ref.dtype)
+
+    return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+    jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret")
 )
 def flash_attention(
     q: jnp.ndarray,  # [BH, T, dh]
     k: jnp.ndarray,  # [BH, S, dh]
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,  # [BH, T, S] additive fp32
+    key_mask: Optional[jnp.ndarray] = None,  # [BH, S] additive fp32 (padding)
+    causal: bool = False,
     block_q: int = 128,
     block_k: int = 128,
     interpret: bool = False,
@@ -173,7 +211,6 @@ def flash_attention(
         ),
     ]
     operands = [q, k, v]
-    kw = dict(scale=scale, kv_blocks=kv_blocks)
     if mask is not None:
         in_specs.append(
             pl.BlockSpec(
@@ -183,10 +220,18 @@ def flash_attention(
             )
         )
         operands.append(mask)
-        kernel = functools.partial(_flash_kernel, **kw)
-    else:
-        kernel = functools.partial(_flash_kernel_nomask, **kw)
+    if key_mask is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, block_k), lambda b, i, j: (b, j), memory_space=pltpu.VMEM
+            )
+        )
+        operands.append(key_mask)
 
+    kernel = _make_flash_kernel(
+        mask is not None, key_mask is not None, causal,
+        scale, kv_blocks, block_q, block_k,
+    )
     return pl.pallas_call(
         kernel,
         grid=(BH, T // block_q, kv_blocks),
@@ -211,11 +256,16 @@ def fused_mha(
     mask: Optional[jnp.ndarray],  # broadcastable to [B, H, T, S], additive
     small_threshold: int = 256,
     interpret: bool = False,
+    causal: bool = False,
+    key_mask: Optional[jnp.ndarray] = None,  # [B, S] additive fp32 (padding)
 ) -> jnp.ndarray:
     """Shape-dispatching fused attention over [B, H, ...] inputs.
 
-    ``mask=None`` (every ViT tower) never materializes a mask tensor — at
-    long sequence the dense [B*H, T, S] fp32 mask would dominate HBM traffic.
+    Prefer ``causal=True`` and/or ``key_mask`` over a dense ``mask``: both
+    are applied in-kernel on the long-sequence path, so no [B*H, T, S] mask
+    tensor ever reaches HBM (it would dominate traffic — 6.4 GB at B=8,
+    H=12, T=S=4096). ``mask=None`` with no flags (every ViT tower) reads no
+    mask at all.
     """
     B, H, T, dh = q.shape
     S = k.shape[2]
@@ -224,10 +274,25 @@ def fused_mha(
         m = jnp.broadcast_to(mask.astype(jnp.float32), (B, H, T, S)).reshape(
             B * H, T, S
         )
+    km = None
+    if key_mask is not None:
+        km = jnp.broadcast_to(
+            key_mask.astype(jnp.float32)[:, None, :], (B, H, S)
+        ).reshape(B * H, S)
     qf = q.reshape(B * H, T, dh)
     kf = k.reshape(B * H, S, dh)
     vf = v.reshape(B * H, S, dh)
     if max(T, S) <= small_threshold:
+        # short path: fold flags into one dense block (tiny at these shapes)
+        if causal or km is not None:
+            base = jnp.zeros((B * H, T, S), jnp.float32) if m is None else m
+            if causal:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+                cols = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+                base = base + jnp.where(cols <= rows, 0.0, NEG_INF)[None]
+            if km is not None:
+                base = base + km[:, None, :]
+            m = base
         out = attention_small(qf, kf, vf, m, interpret=interpret)
     else:
         pad_q = (-T) % 128
@@ -236,11 +301,17 @@ def fused_mha(
             qf = jnp.pad(qf, ((0, 0), (0, pad_q), (0, 0)))
             kf = jnp.pad(kf, ((0, 0), (0, pad_k), (0, 0)))
             vf = jnp.pad(vf, ((0, 0), (0, pad_k), (0, 0)))
-            if m is None:
-                # padded keys MUST be masked out (they would otherwise enter
-                # the softmax); padded query rows are sliced off below
-                m = jnp.zeros((B * H, T, S), jnp.float32)
-            m = jnp.pad(m, ((0, 0), (0, pad_q), (0, pad_k)), constant_values=NEG_INF)
+            if m is not None:
+                m = jnp.pad(
+                    m, ((0, 0), (0, pad_q), (0, pad_k)), constant_values=NEG_INF
+                )
+            elif pad_k:
+                # padded keys MUST drop out of the softmax; a key row mask is
+                # enough (padded query rows are sliced off below)
+                if km is None:
+                    km = jnp.zeros((B * H, S), jnp.float32)
+            if km is not None and pad_k:
+                km = jnp.pad(km, ((0, 0), (0, pad_k)), constant_values=NEG_INF)
         Tp, Sp = qf.shape[1], kf.shape[1]
         # measured block heuristic (v5e, dh=64): large KV blocks amortize the
         # MXU's 128-lane tile over the dh=64 contraction; 128x128 blocks were
@@ -248,7 +319,8 @@ def fused_mha(
         block_k = _largest_divisor_block(Sp, 1024)
         block_q = _largest_divisor_block(Tp, 1024 if Sp > 2048 else 256)
         out = flash_attention(
-            qf, kf, vf, m, block_q=block_q, block_k=block_k, interpret=interpret
+            qf, kf, vf, m, key_mask=km, causal=causal,
+            block_q=block_q, block_k=block_k, interpret=interpret,
         )[:, :T]
     return out.reshape(B, H, T, dh)
 
