@@ -228,13 +228,25 @@ def clip_text_hidden(
     T = input_ids.shape[1]
     x = p["token_embedding"][input_ids] + p["position_embedding"][:T]
     x = x.astype(cfg.compute_dtype)
-    mask = _text_masks(input_ids, attention_mask)
+    if cfg.attention_impl == "pallas":
+        # structured masks: causal + key-padding applied in-kernel, so no
+        # dense [T, T] tensor is built (matters for long-context configs)
+        mask, causal = None, True
+        key_mask = (
+            None
+            if attention_mask is None
+            else (1.0 - attention_mask.astype(jnp.float32)) * NEG_INF
+        )
+    else:
+        mask, causal, key_mask = _text_masks(input_ids, attention_mask), False, None
     for layer in p["layers"]:
         x = transformer_block(
             x, layer, cfg.num_heads, cfg.hidden_act, mask, cfg.layer_norm_eps,
             remat=cfg.remat,
             attention_impl=cfg.attention_impl,
             scores_dtype=cfg.scores_dtype,
+            causal=causal,
+            key_mask=key_mask,
         )
     return layer_norm(x, p["final_ln"], cfg.layer_norm_eps)
 

@@ -171,16 +171,20 @@ def siglip_text_features(
     T = input_ids.shape[1]
     x = p["token_embedding"][input_ids] + p["position_embedding"][:T]
     x = x.astype(t.compute_dtype)
-    mask = None
+    mask, key_mask = None, None
     if attention_mask is not None:
         pad = (1.0 - attention_mask.astype(jnp.float32)) * NEG_INF
-        mask = pad[:, None, None, :]
+        if t.attention_impl == "pallas":
+            key_mask = pad  # applied in-kernel, no dense [T, T] tensor
+        else:
+            mask = pad[:, None, None, :]
     for layer in p["layers"]:
         x = transformer_block(
             x, layer, t.num_heads, t.hidden_act, mask, t.layer_norm_eps,
             remat=t.remat,
             attention_impl=t.attention_impl,
             scores_dtype=t.scores_dtype,
+            key_mask=key_mask,
         )
     x = layer_norm(x, p["final_ln"], t.layer_norm_eps)
     pooled = x[:, -1]

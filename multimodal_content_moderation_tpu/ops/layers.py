@@ -109,12 +109,18 @@ def mha(
     mask: Optional[jnp.ndarray] = None,
     impl: str = "xla",
     scores_dtype: str = "float32",
+    causal: bool = False,
+    key_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Multi-head attention with fp32 softmax.
 
     ``p`` holds ``q``/``k``/``v``/``o`` dense params. ``mask`` is an additive
     fp32 bias broadcastable to [B, heads, Tq, Tk] (use large negatives for
     masked positions, matching the torch additive-mask convention).
+    ``causal`` and ``key_mask`` ([B, Tk] additive fp32 padding bias) are the
+    structured alternative: on the Pallas path they are applied IN-KERNEL so
+    no dense [T, S] mask ever reaches HBM — prefer them over ``mask`` for
+    long sequences.
 
     ``impl`` selects the attention core: "xla" (einsum softmax chain —
     measured faster for the short-sequence encoders here) or "pallas" (the
@@ -139,7 +145,9 @@ def mha(
         from multimodal_content_moderation_tpu.ops.pallas_attention import fused_mha
 
         interpret = jax.default_backend() == "cpu"
-        out = fused_mha(q, k, v, mask, interpret=interpret)
+        out = fused_mha(
+            q, k, v, mask, interpret=interpret, causal=causal, key_mask=key_mask
+        )
     else:
         sdt = jnp.dtype(scores_dtype)
         scale = jnp.asarray(1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32)), sdt)
@@ -149,6 +157,12 @@ def mha(
         if mask is not None:
             # NEG_INF overflows to -inf in bf16; exp(-inf)=0 is the intent
             logits = logits + mask.astype(sdt)
+        if key_mask is not None:
+            logits = logits + key_mask.astype(sdt)[:, None, None, :]
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 1)
+            logits = jnp.where(cols <= rows, logits, jnp.asarray(-jnp.inf, sdt))
         weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x_q.dtype)
         out = jnp.einsum(
             "bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32
@@ -167,6 +181,8 @@ def transformer_block(
     remat: bool = False,
     attention_impl: str = "xla",
     scores_dtype: str = "float32",
+    causal: bool = False,
+    key_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Pre-LN transformer block shared by the CLIP and SigLIP towers.
 
@@ -175,13 +191,18 @@ def transformer_block(
     is rematerialized in the backward pass (``jax.checkpoint``), trading
     FLOPs for activation memory — the TPU equivalent of the reference's
     ``gradient_checkpointing`` knob (config/default.yaml:61).
+    ``causal``/``key_mask`` are the structured mask form (see ``mha``).
     """
 
-    def block(x, p, mask):
+    def block(x, p, mask, key_mask):
         activation = ACTIVATIONS[act]
         res = x
         y = layer_norm(x, p["ln1"], eps)
-        x = res + mha(y, y, p["attn"], num_heads, mask, impl=attention_impl, scores_dtype=scores_dtype)
+        x = res + mha(
+            y, y, p["attn"], num_heads, mask,
+            impl=attention_impl, scores_dtype=scores_dtype,
+            causal=causal, key_mask=key_mask,
+        )
         res = x
         y = layer_norm(x, p["ln2"], eps)
         y = dense(y, p["fc1"])
@@ -190,5 +211,5 @@ def transformer_block(
         return res + y
 
     if remat:
-        return jax.checkpoint(block)(x, p, mask)
-    return block(x, p, mask)
+        return jax.checkpoint(block)(x, p, mask, key_mask)
+    return block(x, p, mask, key_mask)
