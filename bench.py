@@ -124,7 +124,13 @@ def _bench_e2e_in(engine, tmp: str) -> dict:
         csv_path,
         img_dir,
         tokenizer,
-        ImagePreprocessor(224, 224, CLIP_MEAN, CLIP_STD, output="uint8_hwc"),
+        # fused native decode (C++ libjpeg, DCT-scaled) — the fastest
+        # supported production path (--image_backend native_scaled on the
+        # CLIs); transparently falls back to PIL if the toolchain is absent
+        ImagePreprocessor(
+            224, 224, CLIP_MEAN, CLIP_STD,
+            output="uint8_hwc", backend="native_scaled",
+        ),
         SEQ,
         class_names=["racist", "sexist", "homophobe", "religion", "otherhate"],
     )

@@ -54,11 +54,15 @@ def build_preprocessors(
     model_cfg: Dict[str, Any],
     aug_cfg: Dict[str, Any],
     train_output: str = "float_nchw",
+    image_backend: str = "pil",
 ) -> Tuple[ImagePreprocessor, ImagePreprocessor]:
     """(train_preproc, eval_preproc) from the config sections.
 
     ``train_output="uint8_hwc"`` selects the u8 wire format for training
-    (normalization folds into the patch embed on device — models/u8wire.py)."""
+    (normalization folds into the patch embed on device — models/u8wire.py).
+    ``image_backend`` picks the decode path (``data.image_backend``):
+    "pil" (reference-exact), "native" (C++ libjpeg, bit-parity), or
+    "native_scaled" (DCT-scaled decode, fastest)."""
     backend = model_cfg.get("backend", "clip")
     enc_dir = resolve_encoder_dir(model_cfg)
     (H, W), mean, std = image_stats_from_dir(enc_dir, backend)
@@ -74,8 +78,9 @@ def build_preprocessors(
             aug_cfg.get("aug_scale_max", 1.0),
         ),
         output=train_output,
+        backend=image_backend,
     )
-    eval_pp = ImagePreprocessor(H, W, mean, std)
+    eval_pp = ImagePreprocessor(H, W, mean, std, backend=image_backend)
     return train_pp, eval_pp
 
 

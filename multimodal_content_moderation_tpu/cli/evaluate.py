@@ -44,6 +44,14 @@ def parse_args(argv=None):
         help="fast = uint8 wire format + Pallas fused patch embed (the "
         "production serving path; combine with --precision bf16_fast)",
     )
+    parser.add_argument(
+        "--image_backend",
+        choices=["pil", "native", "native_scaled"],
+        default="pil",
+        help="JPEG decode path: pil = reference-exact; native = C++ libjpeg "
+        "(bit-parity, GIL-free); native_scaled adds DCT-domain downscaling "
+        "during decode (fastest host pipeline)",
+    )
     return parser.parse_args(argv)
 
 
@@ -85,6 +93,7 @@ def main(argv=None):
     preproc = ImagePreprocessor(
         H, W, mean, std,
         output="uint8_hwc" if args.engine == "fast" else "float_nchw",
+        backend=args.image_backend,
     )
     test_ds = CSVDataset(
         args.test_csv,

@@ -40,6 +40,7 @@ class MultiModalClassifier:
         dtype=None,
         precision: str = "fp32",  # fp32 | bf16 | bf16_fast
         engine: str = "standard",  # "standard" | "fast" (u8 wire + Pallas embed)
+        image_backend: str = "pil",  # "pil" | "native" | "native_scaled"
     ):
         import jax
 
@@ -91,10 +92,12 @@ class MultiModalClassifier:
                 FastInferenceEngine,
             )
 
-            self.preproc = ImagePreprocessor(H, W, mean, std, output="uint8_hwc")
+            self.preproc = ImagePreprocessor(
+                H, W, mean, std, output="uint8_hwc", backend=image_backend
+            )
             self.engine = FastInferenceEngine(self.model, self.params, mean, std)
         else:
-            self.preproc = ImagePreprocessor(H, W, mean, std)
+            self.preproc = ImagePreprocessor(H, W, mean, std, backend=image_backend)
 
         model = self.model
         self._forward = jax.jit(lambda p, b: model.apply(p, b)["logits"])
@@ -241,6 +244,13 @@ def parse_args(argv=None):
         default="standard",
         help="fast = uint8 wire format + Pallas fused patch embed",
     )
+    parser.add_argument(
+        "--image_backend",
+        choices=["pil", "native", "native_scaled"],
+        default="pil",
+        help="JPEG decode path: pil = reference-exact; native = C++ libjpeg "
+        "(bit-parity); native_scaled = DCT-scaled decode (fastest)",
+    )
     return parser.parse_args(argv)
 
 
@@ -250,6 +260,7 @@ def main(argv=None):
     classifier = MultiModalClassifier(
         args.checkpoint, args.encoder_dir, batch_size=args.batch_size,
         precision=args.precision, engine=args.engine,
+        image_backend=args.image_backend,
     )
     print(f"Classes: {classifier.class_names}")
 

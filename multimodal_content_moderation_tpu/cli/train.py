@@ -138,6 +138,7 @@ def main(argv=None) -> Dict[str, Any]:
     train_pp, eval_pp = build_preprocessors(
         model_cfg, aug_cfg,
         train_output="uint8_hwc" if wire == "u8" else "float_nchw",
+        image_backend=data_cfg.get("image_backend", "pil"),
     )
 
     class_names = data_cfg.get("class_names", []) or []

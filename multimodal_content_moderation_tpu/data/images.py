@@ -122,7 +122,12 @@ class ImagePreprocessor:
         color_jitter: Tuple[float, float, float, float] = (0.1, 0.1, 0.1, 0.05),
         output: str = "float_nchw",  # "float_nchw" | "uint8_hwc"
         seed: int = 0,
-        backend: str = "pil",  # "pil" (reference-exact) | "native" (C++ fast path)
+        # "pil": reference-exact (PIL decode + PIL resize)
+        # "native": C++ full-res libjpeg decode + PIL-parity resize (bit-exact,
+        #   faster, GIL-free)
+        # "native_scaled": C++ decode with DCT-domain M/8 downscaling (the
+        #   IDCT never produces the full-res image; fastest, near-exact)
+        backend: str = "pil",
     ):
         self.H, self.W = height, width
         self.mean = np.asarray(mean, np.float32)
@@ -134,16 +139,19 @@ class ImagePreprocessor:
         self.output = output
         self.rng = np.random.default_rng(seed)
         self.backend = backend
-        if backend == "native":
+        self._native_jpeg = False
+        if backend in ("native", "native_scaled"):
             from multimodal_content_moderation_tpu.data import native
 
             if not native.available():  # pragma: no cover - toolchain-dependent
                 self.backend = "pil"
+            else:
+                self._native_jpeg = native.jpeg_available()
 
     # -- transforms ---------------------------------------------------------
 
     def _eval_transform(self, im: Image.Image) -> np.ndarray:
-        if self.backend == "native" and self.H == self.W:
+        if self.backend.startswith("native") and self.H == self.W:
             from multimodal_content_moderation_tpu.data import native
 
             return native.resize_center_crop(np.asarray(im, np.uint8), self.H)
@@ -195,6 +203,24 @@ class ImagePreprocessor:
         failure (reference dataset.py:126-141 contract)."""
         if not path:
             return self.zero_output(), 0.0
+        if self._native_jpeg and not self.augment and self.H == self.W:
+            # one fused native call: libjpeg decode (DCT-scaled when the
+            # backend is "native_scaled") -> antialiased resize -> crop,
+            # GIL-free; non-JPEG or corrupt data falls through to PIL
+            from multimodal_content_moderation_tpu.data import native
+
+            try:
+                with open(path, "rb") as f:
+                    data = f.read()
+            except OSError:
+                return self.zero_output(), 0.0
+            crop = native.decode_jpeg_resize_crop(
+                data, self.H, scaled=self.backend == "native_scaled"
+            )
+            if crop is not None:
+                if self.output == "uint8_hwc":
+                    return crop, 1.0
+                return self.normalize(crop), 1.0
         try:
             with Image.open(path) as im:
                 return self.process_pil(im), 1.0

@@ -36,18 +36,19 @@ def _build() -> bool:
     src = os.path.join(_NATIVE_DIR, "image_ops.cpp")
     if not os.path.exists(src):
         return False
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
-             "-o", _SO_PATH, src],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return True
-    except Exception as e:  # pragma: no cover
-        logger.warning("native image ops build failed: %s", e)
-        return False
+    base = ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
+            "-o", _SO_PATH, src]
+    # Prefer the libjpeg-backed build (fused scaled decode); fall back to the
+    # resize-only build on hosts without libjpeg dev files.
+    for extra in (["-DMMCM_HAVE_JPEG", "-ljpeg"], []):
+        try:
+            subprocess.run(
+                base + extra, check=True, capture_output=True, timeout=120
+            )
+            return True
+        except Exception as e:  # pragma: no cover
+            logger.warning("native image ops build (%s) failed: %s", extra, e)
+    return False
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -56,7 +57,11 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO_PATH) and not _build():
+        src = os.path.join(_NATIVE_DIR, "image_ops.cpp")
+        stale = os.path.exists(_SO_PATH) and os.path.exists(src) and (
+            os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+        )
+        if (not os.path.exists(_SO_PATH) or stale) and not _build():
             return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
@@ -71,6 +76,13 @@ def _load() -> Optional[ctypes.CDLL]:
                 u8p, ctypes.c_int,
             ]
             lib.resize_shortest_edge_center_crop_u8.restype = None
+            lib.has_jpeg.argtypes = []
+            lib.has_jpeg.restype = ctypes.c_int
+            if lib.has_jpeg():
+                lib.decode_jpeg_resize_crop_u8.argtypes = [
+                    u8p, ctypes.c_int, u8p, ctypes.c_int, ctypes.c_int,
+                ]
+                lib.decode_jpeg_resize_crop_u8.restype = ctypes.c_int
             _lib = lib
         except OSError as e:  # pragma: no cover
             logger.warning("native image ops load failed: %s", e)
@@ -79,6 +91,37 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _load() is not None
+
+
+def jpeg_available() -> bool:
+    lib = _load()
+    return lib is not None and bool(lib.has_jpeg())
+
+
+def decode_jpeg_resize_crop(
+    data: bytes, out: int, scaled: bool = True
+) -> Optional[np.ndarray]:
+    """JPEG bytes -> (out, out, 3) uint8 RGB crop in one native call.
+
+    ``scaled`` enables DCT-domain M/8 downscaling during decode (shortest
+    edge kept >= ``out``; the antialiased resize finishes the job) — ~2-4x
+    cheaper than full decode for typical social-media images. With
+    ``scaled=False`` the decode is full-resolution and bit-identical to the
+    PIL path (both wrap the same libjpeg). Returns None on any decode
+    failure so callers can fall back / degrade.
+    """
+    lib = _load()
+    if lib is None or not lib.has_jpeg():
+        return None
+    dst = np.empty((out, out, 3), np.uint8)
+    rc = lib.decode_jpeg_resize_crop_u8(
+        ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_uint8)),
+        len(data),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out,
+        1 if scaled else 0,
+    )
+    return dst if rc == 0 else None
 
 
 def resize_bilinear(src: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -9,7 +9,9 @@
 //
 // Exported C ABI:
 //   resize_bilinear_u8(src, h, w, c, dst, oh, ow)
-//   resize_shortest_edge_center_crop_u8(src, h, w, c, dst, out, pad_ok)
+//   resize_shortest_edge_center_crop_u8(src, h, w, c, dst, out)
+//   decode_jpeg_resize_crop_u8(data, len, dst, out, scale_mode)  [-DMMCM_HAVE_JPEG]
+//   has_jpeg()
 //
 // Algorithm (PIL-compatible): for each output position, the triangle filter
 // support scales with the downscale factor; coefficients are computed in
@@ -175,3 +177,105 @@ void resize_shortest_edge_center_crop_u8(const uint8_t* src, int h, int w,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// JPEG decode fused with resize+crop (libjpeg-turbo).
+//
+// The reference's DataLoader workers decode every JPEG at FULL resolution
+// with PIL, then downscale to 224 (src/data/dataset.py:106-111). For a
+// 224-square target that wastes most of the IDCT work: libjpeg can apply an
+// M/8 scale factor *inside* the inverse DCT, so a 1000px image is decoded
+// directly to ~250px at a fraction of the cost. `scale_mode=1` picks the
+// smallest M/8 whose shortest output edge still covers the crop; the
+// antialiased resize above finishes the job. `scale_mode=0` decodes at full
+// resolution (bit-identical to PIL, which wraps the same libjpeg).
+// ---------------------------------------------------------------------------
+
+#ifdef MMCM_HAVE_JPEG
+#include <csetjmp>
+#include <cstdio>  // jpeglib.h needs FILE
+
+#include <jpeglib.h>
+
+namespace {
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  std::jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* e = reinterpret_cast<JpegErr*>(cinfo->err);
+  std::longjmp(e->jb, 1);
+}
+
+}  // namespace
+
+extern "C" {
+
+int has_jpeg() { return 1; }
+
+// Decode JPEG bytes -> shortest-edge resize -> center crop to (out, out) RGB.
+// Returns 0 on success; any decode failure (corrupt data, unsupported
+// colorspace) returns nonzero and the caller degrades per the presence-flag
+// contract. The pixel buffer lives outside the setjmp region so longjmp
+// cannot leak it.
+int decode_jpeg_resize_crop_u8(const uint8_t* data, int len, uint8_t* dst,
+                               int out, int scale_mode) {
+  std::vector<uint8_t> pixels;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data),
+               static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  cinfo.out_color_space = JCS_RGB;  // gray sources are expanded by jdcolor
+  if (scale_mode) {
+    // smallest M/8 with ceil(shortest*M/8) >= out (turbo supports any M/8;
+    // a classic libjpeg would round to a supported power of two and
+    // jpeg_calc_output_dimensions below reflects whatever it actually does)
+    const int short_edge = static_cast<int>(
+        std::min(cinfo.image_width, cinfo.image_height));
+    int m = 8;
+    while (m > 1 && (short_edge * (m - 1) + 7) / 8 >= out) --m;
+    cinfo.scale_num = static_cast<unsigned>(m);
+    cinfo.scale_denom = 8;
+  }
+  jpeg_start_decompress(&cinfo);
+  const int w = static_cast<int>(cinfo.output_width);
+  const int h = static_cast<int>(cinfo.output_height);
+  const int c = cinfo.output_components;
+  if (c != 3 || w <= 0 || h <= 0) {
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+  pixels.resize(static_cast<size_t>(h) * w * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = pixels.data() + static_cast<size_t>(cinfo.output_scanline) * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+
+  resize_shortest_edge_center_crop_u8(pixels.data(), h, w, 3, dst, out);
+  return 0;
+}
+
+}  // extern "C"
+
+#else  // !MMCM_HAVE_JPEG
+
+extern "C" {
+int has_jpeg() { return 0; }
+}
+
+#endif  // MMCM_HAVE_JPEG

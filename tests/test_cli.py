@@ -137,6 +137,71 @@ class TestInferenceCLI:
         assert "any_harmful" in df.columns
         assert len(df) == 16
 
+    def test_native_scaled_backend_matches_pil(self, trained_run, tmp_path):
+        """--image_backend native_scaled (fused C++ libjpeg decode) must
+        produce near-identical probabilities to the reference-exact PIL
+        path on real JPEG inputs."""
+        from multimodal_content_moderation_tpu.cli.inference import MultiModalClassifier
+        from multimodal_content_moderation_tpu.data import native
+
+        if not native.jpeg_available():
+            pytest.skip("libjpeg build unavailable")
+        _, result = trained_run
+        g = np.random.default_rng(7)
+        base = np.add.outer(
+            np.linspace(0, 255, 120), np.linspace(0, 255, 150)
+        )
+        arr = (base[..., None] / 2 + g.random((120, 150, 3)) * 30).astype(
+            np.uint8
+        )
+        p = str(tmp_path / "tweet.jpg")
+        Image.fromarray(arr).save(p, quality=88)
+
+        ckpt = result["result"]["best_checkpoint"]
+        r_pil = MultiModalClassifier(ckpt, batch_size=4).predict("some text", p)
+        r_nat = MultiModalClassifier(
+            ckpt, batch_size=4, image_backend="native_scaled"
+        ).predict("some text", p)
+        for name in r_pil["predictions"]:
+            assert r_nat["predictions"][name]["probability"] == pytest.approx(
+                r_pil["predictions"][name]["probability"], abs=5e-3
+            )
+
+    def test_evaluate_cli_native_backend(self, trained_run, tmp_path):
+        """evaluate --image_backend native_scaled runs the fused decode path
+        end-to-end over a JPEG test CSV."""
+        from multimodal_content_moderation_tpu.cli import evaluate as eval_cli
+        from multimodal_content_moderation_tpu.data import native
+
+        if not native.jpeg_available():
+            pytest.skip("libjpeg build unavailable")
+        _, result = trained_run
+        img_dir = tmp_path / "img"
+        img_dir.mkdir()
+        g = np.random.default_rng(3)
+        rows = ["text,image_path,labels"]
+        for i in range(8):
+            arr = (g.random((80, 100, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(str(img_dir / f"{i}.jpg"), quality=85)
+            lab = "racist,otherhate" if i % 2 == 0 else "sexist"
+            rows.append(f"tweet {i},{i}.jpg,\"{lab}\"")
+        csv = tmp_path / "test.csv"
+        csv.write_text("\n".join(rows) + "\n")
+
+        out_json = str(tmp_path / "eval.json")
+        metrics = eval_cli.main(
+            [
+                "--checkpoint", result["result"]["best_checkpoint"],
+                "--test_csv", str(csv),
+                "--image_root", str(img_dir),
+                "--batch_size", "8",
+                "--output", out_json,
+                "--image_backend", "native_scaled",
+            ]
+        )
+        assert np.isfinite(metrics["f1_macro"])
+        assert os.path.exists(out_json)
+
     def test_batched_equals_single(self, trained_run, data_dir):
         """The batched fast path must produce the same probabilities as
         one-at-a-time prediction (the reference's predict/predict_batch

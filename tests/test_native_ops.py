@@ -65,6 +65,112 @@ class TestResizeParity:
         assert out.shape == (64, 64, 3)
 
 
+def _jpeg_bytes(seed, h, w, quality=90, gray=False):
+    import io
+
+    g = np.random.default_rng(seed)
+    ramp = np.add.outer(np.linspace(0, 255, h), np.linspace(0, 255, w))
+    img = (ramp[..., None] / 2 + g.random((h, w, 3)) * 30).astype(np.uint8)
+    im = Image.fromarray(img)
+    if gray:
+        im = im.convert("L")
+    buf = io.BytesIO()
+    im.save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+@pytest.mark.skipif(
+    not native.jpeg_available(), reason="libjpeg build unavailable"
+)
+class TestJpegDecode:
+    def test_full_decode_bit_exact_vs_pil(self):
+        import io
+
+        data = _jpeg_bytes(0, 480, 640)
+        pil = np.asarray(
+            Image.open(io.BytesIO(data)).convert("RGB"), np.uint8
+        )
+        ref = native.resize_center_crop(pil, 224)
+        got = native.decode_jpeg_resize_crop(data, 224, scaled=False)
+        # PIL wraps the same libjpeg: full-res decode must be bit-identical
+        assert got is not None
+        np.testing.assert_array_equal(got, ref)
+
+    def test_scaled_decode_close_to_full(self):
+        data = _jpeg_bytes(1, 768, 1024)
+        full = native.decode_jpeg_resize_crop(data, 224, scaled=False)
+        sc = native.decode_jpeg_resize_crop(data, 224, scaled=True)
+        # DCT-domain M/8 downscale is a low-pass of the same signal: close
+        # on natural images (this ramp+noise image: mean < 2 levels)
+        diff = np.abs(full.astype(int) - sc.astype(int))
+        assert diff.mean() < 2.0, diff.mean()
+
+    def test_no_upscale_when_source_small(self):
+        # 100px source, 224 target: scaled mode must keep M=8 (no DCT
+        # upscale) and the resize upscales, same as the reference pipeline
+        data = _jpeg_bytes(2, 100, 150)
+        sc = native.decode_jpeg_resize_crop(data, 224, scaled=True)
+        full = native.decode_jpeg_resize_crop(data, 224, scaled=False)
+        np.testing.assert_array_equal(sc, full)
+
+    def test_corrupt_returns_none(self):
+        assert native.decode_jpeg_resize_crop(b"notajpeg", 224) is None
+        # valid header, truncated body
+        data = _jpeg_bytes(3, 200, 200)
+        assert native.decode_jpeg_resize_crop(data[:60], 224) is None
+
+    def test_grayscale_jpeg_decodes_to_rgb(self):
+        import io
+
+        data = _jpeg_bytes(4, 300, 300, gray=True)
+        got = native.decode_jpeg_resize_crop(data, 64, scaled=False)
+        assert got is not None and got.shape == (64, 64, 3)
+        pil = np.asarray(
+            Image.open(io.BytesIO(data)).convert("RGB"), np.uint8
+        )
+        ref = native.resize_center_crop(pil, 64)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_preprocessor_fused_path_matches_pil_backend(self, tmp_path):
+        data = _jpeg_bytes(5, 480, 640)
+        p = tmp_path / "x.jpg"
+        p.write_bytes(data)
+        a, pa = ImagePreprocessor(64, 64, backend="pil").load(str(p))
+        b, pb = ImagePreprocessor(64, 64, backend="native").load(str(p))
+        assert pa == pb == 1.0
+        # full-res native decode is bit-exact; only the resize differs
+        # (float vs PIL fixed-point coefficients)
+        assert np.abs(a - b).max() < 0.05
+
+    def test_preprocessor_scaled_backend(self, tmp_path):
+        data = _jpeg_bytes(6, 480, 640)
+        p = tmp_path / "y.jpg"
+        p.write_bytes(data)
+        a, _ = ImagePreprocessor(64, 64, backend="pil").load(str(p))
+        b, pb = ImagePreprocessor(64, 64, backend="native_scaled").load(str(p))
+        assert pb == 1.0
+        assert np.abs(a - b).mean() < 0.05  # normalized-float space
+
+    def test_preprocessor_png_falls_through_to_pil(self, tmp_path):
+        src = _rand_img(7, 120, 90)
+        p = tmp_path / "z.png"
+        Image.fromarray(src).save(p)
+        arr, present = ImagePreprocessor(
+            48, 48, backend="native_scaled"
+        ).load(str(p))
+        assert present == 1.0 and arr.shape == (3, 48, 48)
+
+    def test_preprocessor_u8_wire_output(self, tmp_path):
+        data = _jpeg_bytes(8, 256, 256)
+        p = tmp_path / "w.jpg"
+        p.write_bytes(data)
+        arr, present = ImagePreprocessor(
+            32, 32, output="uint8_hwc", backend="native_scaled"
+        ).load(str(p))
+        assert arr.dtype == np.uint8 and arr.shape == (32, 32, 3)
+        assert present == 1.0
+
+
 class TestPreprocessorIntegration:
     def test_native_backend_close_to_pil(self, tmp_path):
         src = _rand_img(3, 250, 320)

@@ -60,9 +60,21 @@ def main():
         im = Image.open(io.BytesIO(blob)).convert("RGB")
         return native.resize_center_crop(np.asarray(im, np.uint8), args.size)
 
+    def work_native_jpeg(blob):
+        # fully fused: libjpeg decode (full-res) + resize + crop, GIL-free
+        return native.decode_jpeg_resize_crop(blob, args.size, scaled=False)
+
+    def work_native_scaled(blob):
+        # DCT-domain M/8 downscale during decode — the fastest path
+        return native.decode_jpeg_resize_crop(blob, args.size, scaled=True)
+
     results = {}
     for name, fn in [("pil", work_pil)] + (
         [("native", work_native)] if native.available() else []
+    ) + (
+        [("native_jpeg", work_native_jpeg),
+         ("native_scaled", work_native_scaled)]
+        if native.jpeg_available() else []
     ):
         for w in (1, args.workers):
             with cf.ThreadPoolExecutor(max_workers=w) as pool:
