@@ -198,22 +198,15 @@ class ImagePreprocessor:
             return crop
         return self.normalize(crop)
 
-    def load(self, path: str) -> Tuple[np.ndarray, float]:
-        """Decode ``path`` -> (array, present_flag). Degrades to zeros on any
-        failure (reference dataset.py:126-141 contract)."""
-        if not path:
-            return self.zero_output(), 0.0
+    def process_bytes(self, data: bytes) -> Tuple[np.ndarray, float]:
+        """Encoded image bytes -> (array, present_flag). JPEGs take one fused
+        native call when eligible: libjpeg decode (DCT-scaled for the
+        "native_scaled" backend) -> antialiased resize -> crop, GIL-free.
+        Non-JPEG or corrupt data falls through to PIL; any failure degrades
+        to zeros (reference dataset.py:126-141 contract)."""
         if self._native_jpeg and not self.augment and self.H == self.W:
-            # one fused native call: libjpeg decode (DCT-scaled when the
-            # backend is "native_scaled") -> antialiased resize -> crop,
-            # GIL-free; non-JPEG or corrupt data falls through to PIL
             from multimodal_content_moderation_tpu.data import native
 
-            try:
-                with open(path, "rb") as f:
-                    data = f.read()
-            except OSError:
-                return self.zero_output(), 0.0
             crop = native.decode_jpeg_resize_crop(
                 data, self.H, scaled=self.backend == "native_scaled"
             )
@@ -221,11 +214,25 @@ class ImagePreprocessor:
                 if self.output == "uint8_hwc":
                     return crop, 1.0
                 return self.normalize(crop), 1.0
+        import io
+
         try:
-            with Image.open(path) as im:
+            with Image.open(io.BytesIO(data)) as im:
                 return self.process_pil(im), 1.0
         except Exception:
             return self.zero_output(), 0.0
+
+    def load(self, path: str) -> Tuple[np.ndarray, float]:
+        """Decode ``path`` -> (array, present_flag). Degrades to zeros on any
+        failure (reference dataset.py:126-141 contract)."""
+        if not path:
+            return self.zero_output(), 0.0
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            return self.zero_output(), 0.0
+        return self.process_bytes(data)
 
     def load_relative(self, rel: str, image_root: str) -> Tuple[np.ndarray, float]:
         if not rel:

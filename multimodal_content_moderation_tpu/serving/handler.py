@@ -17,13 +17,11 @@ degrade to zero pixels + presence 0 exactly like the reference (:315-331).
 from __future__ import annotations
 
 import base64
-import io
 import json
 import logging
 from typing import Any, Dict, List, Optional
 
 import numpy as np
-from PIL import Image
 
 logger = logging.getLogger(__name__)
 
@@ -34,7 +32,9 @@ def model_fn(model_dir: str, encoder_dir: Optional[str] = None):
 
     Serving knobs come from the environment (the SageMaker way to configure a
     container): MMHARM_ENGINE=fast selects the u8 wire + Pallas embed path,
-    MMHARM_PRECISION in {fp32, bf16, bf16_fast} sets compute precision."""
+    MMHARM_PRECISION in {fp32, bf16, bf16_fast} sets compute precision,
+    MMHARM_IMAGE_BACKEND in {pil, native, native_scaled} picks the JPEG
+    decode path (native_* = fused C++ libjpeg, GIL-free)."""
     import os
 
     from multimodal_content_moderation_tpu.cli.inference import MultiModalClassifier
@@ -44,6 +44,7 @@ def model_fn(model_dir: str, encoder_dir: Optional[str] = None):
         encoder_dir,
         precision=os.environ.get("MMHARM_PRECISION", "fp32"),
         engine=os.environ.get("MMHARM_ENGINE", "standard"),
+        image_backend=os.environ.get("MMHARM_IMAGE_BACKEND", "pil"),
     )
 
 
@@ -60,21 +61,22 @@ def input_fn(request_body: str, content_type: str = "application/json") -> List[
     return [data]
 
 
-def _decode_image(instance: Dict[str, Any]) -> Optional[Image.Image]:
-    """base64 ``image`` or ``image_url`` -> PIL image; failures -> None
-    (degraded modality, reference sagemaker/inference.py:301-331)."""
+def _image_bytes(instance: Dict[str, Any]) -> Optional[bytes]:
+    """base64 ``image`` or ``image_url`` -> raw encoded bytes; failures ->
+    None (degraded modality, reference sagemaker/inference.py:301-331).
+    Decoding itself happens in ImagePreprocessor.process_bytes so JPEGs hit
+    the fused native libjpeg path."""
     try:
         b64 = instance.get("image") or instance.get("image_base64")
         if b64:  # both keys accepted (reference uses "image_base64")
-            raw = base64.b64decode(b64)
-            return Image.open(io.BytesIO(raw)).convert("RGB")
+            return base64.b64decode(b64)
         if instance.get("image_url"):
             import urllib.request
 
             with urllib.request.urlopen(instance["image_url"], timeout=10) as r:
-                return Image.open(io.BytesIO(r.read())).convert("RGB")
+                return r.read()
     except Exception as e:
-        logger.warning("image decode failed: %s", e)
+        logger.warning("image fetch failed: %s", e)
     return None
 
 
@@ -85,13 +87,14 @@ def predict_fn(instances: List[Dict[str, Any]], classifier) -> List[Dict[str, An
     presences: List[float] = []
     for inst in instances:
         texts.append(inst.get("text") or "")
-        im = _decode_image(inst)
-        if im is None:
+        raw = _image_bytes(inst)
+        if raw is None:
             pixel_arrays.append(classifier.preproc.zero_output())
             presences.append(0.0)
         else:
-            pixel_arrays.append(classifier.preproc.process_pil(im))
-            presences.append(1.0)
+            arr, present = classifier.preproc.process_bytes(raw)
+            pixel_arrays.append(arr)
+            presences.append(present)
 
     n = len(instances)
     bs = classifier.batch_size
