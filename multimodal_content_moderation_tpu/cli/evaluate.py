@@ -52,11 +52,30 @@ def parse_args(argv=None):
         "(bit-parity, GIL-free); native_scaled adds DCT-domain downscaling "
         "during decode (fastest host pipeline)",
     )
+    parser.add_argument(
+        "--device",
+        type=str,
+        default=None,
+        help="drop-in compat with the reference CLI (scripts/evaluate.py "
+        "--device cuda|mps|cpu): 'cpu' forces the CPU backend, anything "
+        "else uses the default accelerator (TPU here)",
+    )
     return parser.parse_args(argv)
+
+
+def _apply_device_flag(device):
+    """Map the reference's --device flag onto JAX platform selection. Must
+    run before first device use; non-cpu values (cuda/mps) mean "use the
+    accelerator", which here is the default backend."""
+    if device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
 
 def main(argv=None):
     args = parse_args(argv)
+    _apply_device_flag(args.device)
 
     from multimodal_content_moderation_tpu.models import model_io
     from multimodal_content_moderation_tpu.parallel.mesh import build_mesh, replicate

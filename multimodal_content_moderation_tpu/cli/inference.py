@@ -251,11 +251,23 @@ def parse_args(argv=None):
         help="JPEG decode path: pil = reference-exact; native = C++ libjpeg "
         "(bit-parity); native_scaled = DCT-scaled decode (fastest)",
     )
+    parser.add_argument(
+        "--device",
+        type=str,
+        default=None,
+        help="drop-in compat with the reference CLI (scripts/inference.py "
+        "--device cuda|mps|cpu): 'cpu' forces the CPU backend, anything "
+        "else uses the default accelerator (TPU here)",
+    )
     return parser.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     print(f"Loading model from: {args.checkpoint}")
     classifier = MultiModalClassifier(
         args.checkpoint, args.encoder_dir, batch_size=args.batch_size,
