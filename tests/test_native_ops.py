@@ -131,6 +131,31 @@ class TestJpegDecode:
         ref = native.resize_center_crop(pil, 64)
         np.testing.assert_array_equal(got, ref)
 
+    def test_progressive_jpeg_decodes(self):
+        import io
+
+        g = np.random.default_rng(9)
+        img = (g.random((200, 300, 3)) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=90, progressive=True)
+        got = native.decode_jpeg_resize_crop(buf.getvalue(), 64, scaled=True)
+        assert got is not None and got.shape == (64, 64, 3)
+
+    def test_cmyk_jpeg_falls_back_to_pil(self, tmp_path):
+        # 4-component JPEGs are rejected by the native path (returns None)
+        # and must fall through to PIL's convert("RGB") inside process_bytes
+        import io
+
+        g = np.random.default_rng(10)
+        img = (g.random((100, 120, 3)) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).convert("CMYK").save(buf, "JPEG", quality=90)
+        data = buf.getvalue()
+        assert native.decode_jpeg_resize_crop(data, 48) is None
+        pp = ImagePreprocessor(48, 48, backend="native_scaled")
+        arr, present = pp.process_bytes(data)
+        assert present == 1.0 and arr.shape == (3, 48, 48)
+
     def test_preprocessor_fused_path_matches_pil_backend(self, tmp_path):
         data = _jpeg_bytes(5, 480, 640)
         p = tmp_path / "x.jpg"
