@@ -1,0 +1,129 @@
+"""Standalone HTTP model server implementing the SageMaker container
+contract.
+
+The reference's ``sagemaker/inference.py`` handler functions are hosted by
+the SageMaker *PyTorch serving stack* (torchserve behind the scenes), which
+provides the actual HTTP listener. A TPU serving container has no such
+stack, so this module is the TPU-native equivalent: a dependency-free
+threaded HTTP server that speaks the same container interface SageMaker
+probes —
+
+    GET  /ping         -> 200 once the model is loaded (health check)
+    POST /invocations  -> handler.input_fn -> predict_fn -> output_fn
+
+Request/response bodies are exactly the reference's JSON schema
+(sagemaker/inference.py:169-348): a single object or ``{"instances": [...]}``
+with ``text`` / ``image_base64`` / ``image_url`` fields, answered with
+``{"predictions": [{"class_predictions", "probabilities", "any_harmful"}]}``.
+
+Run: ``mmharm-serve --model-dir /opt/ml/model [--port 8080]`` (SageMaker
+containers conventionally listen on 8080). Device compute is a single jitted
+forward shared by all request threads; JAX dispatch is thread-safe and
+requests are internally batched per call by ``predict_fn``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from multimodal_content_moderation_tpu.serving import handler as h
+
+logger = logging.getLogger(__name__)
+
+
+class _State:
+    classifier = None
+    lock = threading.Lock()
+
+
+def _make_request_handler(state: _State):
+    class Handler(BaseHTTPRequestHandler):
+        # keep the default HTTP/1.1 keep-alive off: SageMaker's router opens
+        # fresh connections and closing early simplifies draining
+        protocol_version = "HTTP/1.0"
+
+        def log_message(self, fmt, *args):  # route through logging, not stderr
+            logger.debug("%s - %s", self.address_string(), fmt % args)
+
+        def _send(self, code: int, body: str, content_type="application/json"):
+            data = body.encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/ping":
+                if state.classifier is not None:
+                    self._send(200, "{}")
+                else:
+                    self._send(503, json.dumps({"error": "model not loaded"}))
+            else:
+                self._send(404, json.dumps({"error": "not found"}))
+
+        def do_POST(self):
+            if self.path != "/invocations":
+                self._send(404, json.dumps({"error": "not found"}))
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length).decode("utf-8")
+                instances = h.input_fn(
+                    body, self.headers.get("Content-Type", "application/json")
+                )
+                # serialize device access: predict_fn batches internally, and
+                # one in-flight forward at a time keeps tail latency sane on a
+                # single chip (JAX dispatch itself is thread-safe)
+                with state.lock:
+                    preds = h.predict_fn(instances, state.classifier)
+                self._send(200, h.output_fn(preds))
+            except Exception as e:  # noqa: BLE001 - per-request error capture
+                logger.exception("invocation failed")
+                self._send(400, json.dumps({"error": str(e)}))
+
+    return Handler
+
+
+def serve(
+    model_dir: str,
+    encoder_dir: Optional[str] = None,
+    port: int = 8080,
+    host: str = "0.0.0.0",
+) -> ThreadingHTTPServer:
+    """Load the model and return a ready (not yet serving) HTTP server.
+
+    Callers run ``server.serve_forever()``; tests drive it from a thread and
+    ``shutdown()`` it."""
+    state = _State()
+    state.classifier = h.model_fn(model_dir, encoder_dir)
+    server = ThreadingHTTPServer((host, port), _make_request_handler(state))
+    logger.info("model loaded; listening on %s:%d", host, port)
+    return server
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Serve a trained checkpoint over the SageMaker container "
+        "HTTP contract (/ping, /invocations)"
+    )
+    parser.add_argument("--model-dir", required=True)
+    parser.add_argument("--encoder-dir", default=None)
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--host", default="0.0.0.0")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    server = serve(args.model_dir, args.encoder_dir, args.port, args.host)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:  # pragma: no cover
+        server.shutdown()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

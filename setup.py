@@ -35,6 +35,7 @@ setup(
             "mmharm-infer=multimodal_content_moderation_tpu.cli.inference:main",
             "mmharm-prepare-data=multimodal_content_moderation_tpu.cli.prepare_data:main",
             "mmharm-deploy=multimodal_content_moderation_tpu.serving.deploy:main",
+            "mmharm-serve=multimodal_content_moderation_tpu.serving.server:main",
         ]
     },
 )

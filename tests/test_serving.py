@@ -91,6 +91,80 @@ class TestPredictFn:
         assert "predictions" in parsed and len(parsed["predictions"]) == 1
 
 
+class TestHTTPServer:
+    """The standalone SageMaker-contract HTTP server (serving/server.py)."""
+
+    @pytest.fixture(scope="class")
+    def server(self, trained_run):
+        import threading
+
+        from multimodal_content_moderation_tpu.serving import server as srv
+
+        _, result = trained_run
+        # port 0 = let the OS pick a free port
+        s = srv.serve(result["result"]["best_checkpoint"], port=0, host="127.0.0.1")
+        t = threading.Thread(target=s.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{s.server_address[1]}"
+        s.shutdown()
+
+    def test_ping(self, server):
+        import urllib.request
+
+        with urllib.request.urlopen(f"{server}/ping", timeout=30) as r:
+            assert r.status == 200
+
+    def test_invocations_single_and_batch(self, server):
+        import urllib.request
+
+        body = json.dumps(
+            {
+                "instances": [
+                    {"text": "hate hate hate", "image_base64": _b64_image(1)},
+                    {"text": "love love love"},
+                ]
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"{server}/invocations",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert len(out["predictions"]) == 2
+        for p in out["predictions"]:
+            assert set(p.keys()) == {
+                "class_predictions",
+                "probabilities",
+                "any_harmful",
+            }
+
+    def test_bad_json_is_400_not_crash(self, server):
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{server}/invocations",
+            data=b"{not json",
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+        # server still healthy afterwards
+        with urllib.request.urlopen(f"{server}/ping", timeout=30) as r:
+            assert r.status == 200
+
+    def test_unknown_route_404(self, server):
+        import urllib.error
+        import urllib.request
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"{server}/nope", timeout=30)
+        assert e.value.code == 404
+
+
 class TestBatchTransform:
     def test_jsonl_roundtrip(self, classifier, tmp_path):
         lines = [
