@@ -133,6 +133,12 @@ def main(argv=None) -> Dict[str, Any]:
     logger.info("output dir: %s", output_dir)
 
     # ---- assets & data -----------------------------------------------------
+    # resolve `backend: auto` (reference AutoModel dispatch) from the local
+    # encoder config BEFORE anything consumes the backend string
+    model_cfg = dict(model_cfg)
+    model_cfg["backend"] = model_io.resolve_backend(
+        resolve_encoder_dir(model_cfg), model_cfg.get("backend", "clip")
+    )
     tokenizer = build_tokenizer(model_cfg)
     wire = train_cfg.get("wire", "f32") or "f32"
     train_pp, eval_pp = build_preprocessors(

@@ -101,6 +101,22 @@ def siglip_config_from_dict(d: Dict[str, Any]) -> SigLIPConfig:
     )
 
 
+def resolve_backend(encoder_dir: Optional[str], backend: str) -> str:
+    """Resolve the reference's ``backend: auto`` option. The reference's
+    "auto" loads the encoder through HF ``AutoModel`` (fusion.py:88-111,
+    multitask.py:130-154); the TPU-native equivalent is dispatch on the
+    local checkpoint's ``config.json`` ``model_type`` (clip -> clip,
+    anything else -> the siglip/auto pooling path, matching the reference's
+    non-CLIP branch)."""
+    if backend != "auto":
+        return backend
+    cfg_path = os.path.join(encoder_dir or "", "config.json")
+    if os.path.exists(cfg_path):
+        model_type = load_json(cfg_path).get("model_type", "")
+        return "clip" if model_type == "clip" else "siglip"
+    return "siglip"
+
+
 def load_encoder_config(encoder_dir: str, backend: str):
     """Parse a local HF ``config.json`` into our config dataclasses."""
     cfg_path = os.path.join(encoder_dir, "config.json")

@@ -138,6 +138,35 @@ def test_siglip_backbone_weights_loaded_not_random(siglip_encoder_dir):
     )
 
 
+def test_backend_auto_resolves_from_config_json(encoder_dir, siglip_encoder_dir):
+    """The reference's ``backend: auto`` (AutoModel dispatch, fusion.py:88-111)
+    maps here to model_type detection from the local encoder config.json."""
+    from multimodal_content_moderation_tpu.models import model_io
+
+    assert model_io.resolve_backend(encoder_dir, "auto") == "clip"
+    assert model_io.resolve_backend(siglip_encoder_dir, "auto") == "siglip"
+    # explicit values pass through untouched
+    assert model_io.resolve_backend(encoder_dir, "siglip") == "siglip"
+    # no config.json -> the reference's non-CLIP AutoModel branch
+    assert model_io.resolve_backend("/nonexistent", "auto") == "siglip"
+
+
+@pytest.mark.slow
+def test_backend_auto_trains_clip_encoder(encoder_dir, data_dir, tmp_path):
+    """backend: auto + a CLIP encoder dir must resolve to the CLIP tower
+    path end-to-end (previously misparsed the config as SigLIP)."""
+    from multimodal_content_moderation_tpu.cli import train as train_cli
+
+    cfg = _write_cfg(
+        tmp_path, encoder_dir, data_dir, extra_model="  backend: auto\n"
+    )
+    out = str(tmp_path / "auto_run")
+    train_cli.main(["--config", cfg, "--saving.output_dir", out])
+    with open(os.path.join(out, "inference_config.json")) as f:
+        icfg = json.load(f)
+    assert icfg["backend"] == "clip"
+
+
 @pytest.mark.slow
 def test_mtl_end_to_end(encoder_dir, data_dir, tmp_path):
     from multimodal_content_moderation_tpu.cli import train as train_cli
