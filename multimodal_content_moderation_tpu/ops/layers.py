@@ -137,9 +137,27 @@ def mha(
     h = num_heads
     dh = D // h
 
-    q = dense(x_q, p["q"]).reshape(B, Tq, h, dh).transpose(0, 2, 1, 3)
-    k = dense(x_kv, p["k"]).reshape(B, Tk, h, dh).transpose(0, 2, 1, 3)
-    v = dense(x_kv, p["v"]).reshape(B, Tk, h, dh).transpose(0, 2, 1, 3)
+    q3 = dense(x_q, p["q"])
+    k3 = dense(x_kv, p["k"])
+    v3 = dense(x_kv, p["v"])
+
+    if impl == "pallas" and mask is None and max(Tq, Tk) <= 256:
+        # short-seq kernel consumes the natural [B, T, D] GEMM layout: no
+        # [B, h, T, dh] transpose exists in the HLO (the XLA path's layout
+        # copies cost 5.4 ms/batch at B=192/T=50 — see ops/pallas_attention)
+        from multimodal_content_moderation_tpu.ops.pallas_attention import (
+            attention_nhd,
+        )
+
+        interpret = jax.default_backend() == "cpu"
+        out = attention_nhd(
+            q3, k3, v3, h, key_mask=key_mask, causal=causal, interpret=interpret
+        )
+        return dense(out, p["o"])
+
+    q = q3.reshape(B, Tq, h, dh).transpose(0, 2, 1, 3)
+    k = k3.reshape(B, Tk, h, dh).transpose(0, 2, 1, 3)
+    v = v3.reshape(B, Tk, h, dh).transpose(0, 2, 1, 3)
 
     if impl == "pallas":
         from multimodal_content_moderation_tpu.ops.pallas_attention import fused_mha

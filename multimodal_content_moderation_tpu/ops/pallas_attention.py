@@ -95,6 +95,142 @@ def attention_small(
     )(*operands)
 
 
+def _nhd_body(
+    q_ref, k_ref, v_ref, km_ref, o_ref, *, scale: float, causal: bool, num_heads: int
+):
+    """One batch-block step over [bB, T, D] tiles in natural N-T-D layout.
+
+    Heads are peeled off with static lane-dim slices (a VMEM relayout, ~free
+    at these tile sizes) and each head runs a bB-batched MXU matmul pair with
+    an fp32 softmax between.
+    """
+    qa = q_ref[...]  # [bB, Tq, D]
+    ka = k_ref[...]  # [bB, S, D]
+    va = v_ref[...]
+    km = km_ref[...][:, None, :] if km_ref is not None else None  # [bB, 1, S]
+    dh = qa.shape[2] // num_heads
+    Tq, S = qa.shape[1], ka.shape[1]
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Tq, S), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Tq, S), 1)
+        keep = (cols <= rows)[None]
+    outs = []
+    for hi in range(num_heads):
+        sl = lambda a: jax.lax.slice_in_dim(a, hi * dh, (hi + 1) * dh, axis=2)
+        q = sl(qa).astype(jnp.float32)  # [bB, Tq, dh]
+        k = sl(ka).astype(jnp.float32)
+        v = sl(va).astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale  # [bB, Tq, S]
+        if km is not None:
+            s = s + km
+        if causal:
+            s = jnp.where(keep, s, NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(
+            jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+        )  # [bB, Tq, dh]
+    o_ref[...] = jnp.concatenate(outs, axis=2).astype(o_ref.dtype)
+
+
+def _nhd_kernel(q_ref, k_ref, v_ref, km_ref, o_ref, *, scale, causal, num_heads):
+    _nhd_body(
+        q_ref, k_ref, v_ref, km_ref, o_ref,
+        scale=scale, causal=causal, num_heads=num_heads,
+    )
+
+
+def _nhd_kernel_nokm(q_ref, k_ref, v_ref, o_ref, *, scale, causal, num_heads):
+    _nhd_body(
+        q_ref, k_ref, v_ref, None, o_ref,
+        scale=scale, causal=causal, num_heads=num_heads,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "causal", "block_b", "interpret")
+)
+def attention_nhd(
+    q: jnp.ndarray,  # [B, Tq, D]  (D = num_heads * dh) — natural GEMM layout
+    k: jnp.ndarray,  # [B, S, D]
+    v: jnp.ndarray,  # [B, S, D]
+    num_heads: int,
+    key_mask: Optional[jnp.ndarray] = None,  # [B, S] additive fp32 (padding)
+    causal: bool = False,
+    block_b: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Short-sequence fused attention that CONSUMES the [B, T, D] layout.
+
+    The XLA small-seq path materializes per-layer [B, T, D] <-> [B, H, T, dh]
+    layout copies around its batched matmuls (measured 5.4 ms/batch at
+    B=192/T=50 on v5e — as much device time as the attention GEMMs). This
+    kernel takes the QKV projections' natural output layout directly, so no
+    transpose exists anywhere in the HLO: grid (B/bB,), each step loads full
+    [bB, T, D] tiles, peels heads off with static lane slices in VMEM
+    (~22 TB/s, vs HBM for the XLA copies), and runs a bB-batched MXU matmul
+    pair with fp32 softmax per head, writing [bB, Tq, D] straight back.
+
+    Measured (v5e, chained dispatch): B=192/T=50/h=12: 0.75 ms vs 1.10 ms
+    XLA einsum-with-transposes and 1.87 ms transpose+``attention_small``.
+
+    ``causal`` and ``key_mask`` are applied in-kernel (no mask tensor in
+    HBM). Eval/inference path only (like the other kernels here, it defines
+    no VJP).
+    """
+    B, Tq, D = q.shape
+    S = k.shape[1]
+    dh = D // num_heads
+    scale = float(dh) ** -0.5
+    if not block_b:
+        block_b = 8  # measured best at B=192/T=50 (0.748 ms vs 0.862 @ 16)
+        # shrink to a ~5 MB input+output block budget (x2 for double
+        # buffering + fp32 softmax temporaries must fit in ~16 MB VMEM);
+        # e.g. SigLIP T=196/D=768 -> block_b 4
+        per_item = (Tq + 3 * S) * D * q.dtype.itemsize
+        while block_b > 1 and block_b * per_item > 5 * 2**20:
+            block_b //= 2
+    while B % block_b:
+        block_b -= 1
+
+    tile = lambda T: pl.BlockSpec(
+        (block_b, T, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [tile(Tq), tile(S), tile(S)]
+    operands = [q, k, v]
+    if key_mask is not None:
+        in_specs.append(
+            pl.BlockSpec((block_b, S), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(key_mask.astype(jnp.float32))
+        kernel = functools.partial(
+            _nhd_kernel, scale=scale, causal=causal, num_heads=num_heads
+        )
+    else:
+        kernel = functools.partial(
+            _nhd_kernel_nokm, scale=scale, causal=causal, num_heads=num_heads
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // block_b,),
+        in_specs=in_specs,
+        out_specs=tile(Tq),
+        out_shape=jax.ShapeDtypeStruct((B, Tq, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * num_heads * Tq * S * dh,
+            bytes_accessed=(B * Tq * D + 2 * B * S * D) * q.dtype.itemsize
+            + B * Tq * D * q.dtype.itemsize,
+            transcendentals=B * num_heads * Tq * S,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
 def _make_flash_kernel(
     has_mask: bool,
     has_key_mask: bool,

@@ -173,6 +173,64 @@ class TestPatchEmbed:
         np.testing.assert_allclose(a, r, rtol=1e-3, atol=1e-3)
 
 
+class TestAttentionNHD:
+    """attention_nhd consumes [B, T, D] directly (no head transpose in HLO)."""
+
+    @staticmethod
+    def _reference(q, k, v, h, km=None, causal=False):
+        B, T, D = q.shape
+        S = k.shape[1]
+        dh = D // h
+        qh = q.reshape(B, T, h, dh).transpose(0, 2, 1, 3).astype(np.float32)
+        kh = k.reshape(B, S, h, dh).transpose(0, 2, 1, 3).astype(np.float32)
+        vh = v.reshape(B, S, h, dh).transpose(0, 2, 1, 3).astype(np.float32)
+        s = np.einsum("bhqd,bhkd->bhqk", qh, kh) / np.sqrt(dh)
+        if km is not None:
+            s = s + km[:, None, None, :]
+        if causal:
+            r, c = np.indices((T, S))
+            s = np.where(c <= r, s, -np.inf)
+        s = s - s.max(axis=-1, keepdims=True)
+        p = np.exp(s)
+        p = p / p.sum(axis=-1, keepdims=True)
+        o = np.einsum("bhqk,bhkd->bhqd", p, vh)
+        return o.transpose(0, 2, 1, 3).reshape(B, T, D)
+
+    @pytest.mark.parametrize(
+        "B,T,h,causal,with_km,bb",
+        [
+            (4, 50, 12, False, False, 0),  # ViT tower shape (no mask)
+            (6, 77, 8, True, True, 0),  # CLIP text (causal + padding)
+            (3, 64, 12, False, True, 2),  # SigLIP text (padding only)
+            (5, 196, 12, False, False, 0),  # B=5: block_b divisor fallback
+        ],
+    )
+    def test_matches_reference(self, B, T, h, causal, with_km, bb):
+        from multimodal_content_moderation_tpu.ops.pallas_attention import (
+            attention_nhd,
+        )
+
+        g = np.random.default_rng(11)
+        D = h * 64
+        q = g.normal(size=(B, T, D)).astype(np.float32)
+        k = g.normal(size=(B, T, D)).astype(np.float32)
+        v = g.normal(size=(B, T, D)).astype(np.float32)
+        km = None
+        if with_km:
+            keep = (g.random((B, T)) < 0.8).astype(np.float32)
+            keep[:, 0] = 1.0
+            km = ((1.0 - keep) * NEG_INF).astype(np.float32)
+        got = np.asarray(
+            attention_nhd(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), h,
+                key_mask=None if km is None else jnp.asarray(km),
+                causal=causal, block_b=bb, interpret=True,
+            )
+        )
+        want = self._reference(q, k, v, h, km, causal)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_attention_impl_pallas_in_model():
     """attention_impl='pallas' on the tower config must match the XLA path
     (interpret-mode kernels on CPU)."""

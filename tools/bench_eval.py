@@ -39,8 +39,12 @@ def main():
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument(
         "--vision_attention", choices=["xla", "pallas"], default="xla",
-        help="attention core for the vision tower (pallas = fused flash "
-        "kernel; candidate win at SigLIP's 196 patch tokens)",
+        help="attention core for the vision tower (pallas = fused "
+        "[B,T,D]-layout kernel at short seq / flash kernel at long)",
+    )
+    ap.add_argument(
+        "--text_attention", choices=["xla", "pallas"], default="xla",
+        help="attention core for the text tower",
     )
     args = ap.parse_args()
 
@@ -63,7 +67,7 @@ def main():
     )
     cfg = dataclasses.replace(
         cfg,
-        text=bf(cfg.text),
+        text=dataclasses.replace(bf(cfg.text), attention_impl=args.text_attention),
         vision=dataclasses.replace(
             bf(cfg.vision), attention_impl=args.vision_attention
         ),
