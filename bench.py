@@ -30,8 +30,10 @@ import time
 import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 381.5  # reference clip_fusion test throughput
-N_SAMPLES = 10_176  # 53 batches of 192 (VMEM-sweet-spot batch, measured sweep)
-BATCH = int(os.environ.get("BENCH_BATCH", "192"))  # sweep knob
+N_SAMPLES = 10_080  # 70 batches of 144 (sweet-spot batch for the pallas
+# attention path, measured sweep: 144 -> 9126/9120/9117 samples/s vs
+# 128 -> 8762, 160 -> 7922-8418, 192 -> 8073)
+BATCH = int(os.environ.get("BENCH_BATCH", "144"))  # sweep knob
 SEQ = 77
 N_STAGED = 4  # distinct staged batches rotated through the run
 PASSES = 3
@@ -163,15 +165,20 @@ def main() -> None:
 
     model = FusionModel.create("clip", num_labels=5)
     cfg = model.clip_config
+    # pallas = the [B,T,D]-layout attention_nhd kernel (no head-transpose
+    # copies in the HLO): 7866 vs 7524 samples/s same-session A/B at B=192
+    attn = os.environ.get("BENCH_ATTENTION", "pallas")
     model = dataclasses.replace(
         model,
         clip_config=dataclasses.replace(
             cfg,
             text=dataclasses.replace(
-                cfg.text, compute_dtype="bfloat16", scores_dtype="bfloat16"
+                cfg.text, compute_dtype="bfloat16", scores_dtype="bfloat16",
+                attention_impl=attn,
             ),
             vision=dataclasses.replace(
-                cfg.vision, compute_dtype="bfloat16", scores_dtype="bfloat16"
+                cfg.vision, compute_dtype="bfloat16", scores_dtype="bfloat16",
+                attention_impl=attn,
             ),
         ),
     )

@@ -45,6 +45,14 @@ def parse_args(argv=None):
         "production serving path; combine with --precision bf16_fast)",
     )
     parser.add_argument(
+        "--attention",
+        choices=["xla", "pallas"],
+        default="xla",
+        help="attention core: pallas = fused TPU kernels (the [B,T,D]-layout "
+        "short-seq kernel / flash at long seq; fastest on TPU, fp32 softmax "
+        "inside the kernel). xla = plain einsum chain",
+    )
+    parser.add_argument(
         "--image_backend",
         choices=["pil", "native", "native_scaled"],
         default="pil",
@@ -101,6 +109,10 @@ def main(argv=None):
             scores_dtype="bfloat16" if args.precision == "bf16_fast" else None,
         )
         params = to_dtype(params, jnp.bfloat16)
+    if args.attention != "xla":
+        model = model_io.with_performance_options(
+            model, attention_impl=args.attention
+        )
     class_names = config.get("class_names", ["harmful"])
     thresholds = config.get("thresholds", [0.5] * len(class_names))
     print(f"Classes: {class_names}")

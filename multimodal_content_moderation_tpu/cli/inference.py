@@ -41,6 +41,7 @@ class MultiModalClassifier:
         precision: str = "fp32",  # fp32 | bf16 | bf16_fast
         engine: str = "standard",  # "standard" | "fast" (u8 wire + Pallas embed)
         image_backend: str = "pil",  # "pil" | "native" | "native_scaled"
+        attention: str = "xla",  # "xla" | "pallas" (fused TPU attention kernels)
     ):
         import jax
 
@@ -60,6 +61,10 @@ class MultiModalClassifier:
                 scores_dtype="bfloat16" if precision == "bf16_fast" else None,
             )
             self.params = to_dtype(self.params, jnp.bfloat16)
+        if attention != "xla":
+            self.model = model_io.with_performance_options(
+                self.model, attention_impl=attention
+            )
         self.class_names: List[str] = self.config.get("class_names", ["harmful"])
         self.thresholds: List[float] = self.config.get(
             "thresholds", [0.5] * len(self.class_names)
@@ -252,6 +257,12 @@ def parse_args(argv=None):
         "(bit-parity); native_scaled = DCT-scaled decode (fastest)",
     )
     parser.add_argument(
+        "--attention",
+        choices=["xla", "pallas"],
+        default="xla",
+        help="attention core: pallas = fused TPU kernels (fastest on TPU)",
+    )
+    parser.add_argument(
         "--device",
         type=str,
         default=None,
@@ -272,7 +283,7 @@ def main(argv=None):
     classifier = MultiModalClassifier(
         args.checkpoint, args.encoder_dir, batch_size=args.batch_size,
         precision=args.precision, engine=args.engine,
-        image_backend=args.image_backend,
+        image_backend=args.image_backend, attention=args.attention,
     )
     print(f"Classes: {classifier.class_names}")
 

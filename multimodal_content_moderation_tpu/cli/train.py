@@ -186,6 +186,10 @@ def main(argv=None) -> Dict[str, Any]:
         tower_overrides["remat"] = True
     if train_cfg.get("precision", "fp32") in ("bf16", "bfloat16"):
         tower_overrides["compute_dtype"] = "bfloat16"
+    if train_cfg.get("attention", "xla") != "xla":
+        # pallas = the fused [B,T,D]-layout attention kernels (custom VJP,
+        # ops/pallas_attention.attention_nhd_diff) in fwd AND bwd passes
+        tower_overrides["attention_impl"] = train_cfg["attention"]
     if tower_overrides:
         enc_config = dataclasses.replace(
             enc_config,

@@ -144,14 +144,16 @@ def mha(
     if impl == "pallas" and mask is None and max(Tq, Tk) <= 256:
         # short-seq kernel consumes the natural [B, T, D] GEMM layout: no
         # [B, h, T, dh] transpose exists in the HLO (the XLA path's layout
-        # copies cost 5.4 ms/batch at B=192/T=50 — see ops/pallas_attention)
+        # copies cost 5.4 ms/batch at B=192/T=50 — see ops/pallas_attention).
+        # Differentiable (custom VJP with a recompute backward kernel), so
+        # training.attention: pallas works too.
         from multimodal_content_moderation_tpu.ops.pallas_attention import (
-            attention_nhd,
+            attention_nhd_diff,
         )
 
         interpret = jax.default_backend() == "cpu"
-        out = attention_nhd(
-            q3, k3, v3, h, key_mask=key_mask, causal=causal, interpret=interpret
+        out = attention_nhd_diff(
+            q3, k3, v3, key_mask, h, causal, 0, interpret
         )
         return dense(out, p["o"])
 

@@ -231,6 +231,172 @@ def attention_nhd(
     )(*operands)
 
 
+def _nhd_bwd_body(
+    q_ref, k_ref, v_ref, do_ref, km_ref, dq_ref, dk_ref, dv_ref,
+    *, scale: float, causal: bool, num_heads: int,
+):
+    """Backward for ``attention_nhd``: recompute the softmax per head (short
+    seq — cheaper than storing [B, h, T, S] probabilities in HBM) and form
+    dq/dk/dv with bB-batched MXU matmuls, all in the natural [bB, T, D]
+    layout."""
+    qa = q_ref[...]
+    ka = k_ref[...]
+    va = v_ref[...]
+    doa = do_ref[...]
+    km = km_ref[...][:, None, :] if km_ref is not None else None
+    dh = qa.shape[2] // num_heads
+    Tq, S = qa.shape[1], ka.shape[1]
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Tq, S), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Tq, S), 1)
+        keep = (cols <= rows)[None]
+    dqs, dks, dvs = [], [], []
+    bdims = ((0,), (0,))
+    for hi in range(num_heads):
+        sl = lambda a: jax.lax.slice_in_dim(a, hi * dh, (hi + 1) * dh, axis=2)
+        q = sl(qa).astype(jnp.float32)  # [bB, Tq, dh]
+        k = sl(ka).astype(jnp.float32)  # [bB, S, dh]
+        v = sl(va).astype(jnp.float32)
+        do = sl(doa).astype(jnp.float32)  # [bB, Tq, dh]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), bdims), preferred_element_type=jnp.float32
+        ) * scale  # [bB, Tq, S]
+        if km is not None:
+            s = s + km
+        if causal:
+            s = jnp.where(keep, s, NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        # dv = p^T do ; dp = do v^T ; ds = p*(dp - rowsum(dp*p)) ; dz = ds*scale
+        dvs.append(
+            jax.lax.dot_general(
+                p, do, (((1,), (1,)), bdims), preferred_element_type=jnp.float32
+            )
+        )  # [bB, S, dh]
+        dp = jax.lax.dot_general(
+            do, v, (((2,), (2,)), bdims), preferred_element_type=jnp.float32
+        )  # [bB, Tq, S]
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dz = ds * scale
+        dqs.append(
+            jax.lax.dot_general(
+                dz, k, (((2,), (1,)), bdims), preferred_element_type=jnp.float32
+            )
+        )  # [bB, Tq, dh]
+        dks.append(
+            jax.lax.dot_general(
+                dz, q, (((1,), (1,)), bdims), preferred_element_type=jnp.float32
+            )
+        )  # [bB, S, dh]
+    dq_ref[...] = jnp.concatenate(dqs, axis=2).astype(dq_ref.dtype)
+    dk_ref[...] = jnp.concatenate(dks, axis=2).astype(dk_ref.dtype)
+    dv_ref[...] = jnp.concatenate(dvs, axis=2).astype(dv_ref.dtype)
+
+
+def _nhd_bwd_kernel(q, k, v, do, km, dq, dk, dv, *, scale, causal, num_heads):
+    _nhd_bwd_body(
+        q, k, v, do, km, dq, dk, dv,
+        scale=scale, causal=causal, num_heads=num_heads,
+    )
+
+
+def _nhd_bwd_kernel_nokm(q, k, v, do, dq, dk, dv, *, scale, causal, num_heads):
+    _nhd_bwd_body(
+        q, k, v, do, None, dq, dk, dv,
+        scale=scale, causal=causal, num_heads=num_heads,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "causal", "block_b", "interpret")
+)
+def _attention_nhd_bwd_call(
+    q, k, v, do, key_mask, num_heads, causal=False, block_b=0, interpret=False
+):
+    B, Tq, D = q.shape
+    S = k.shape[1]
+    dh = D // num_heads
+    scale = float(dh) ** -0.5
+    if not block_b:
+        block_b = 8
+        # 7 [*, T, D] tiles live per step (q/k/v/do in, dq/dk/dv out)
+        per_item = (3 * Tq + 4 * S) * D * q.dtype.itemsize
+        while block_b > 1 and block_b * per_item > 5 * 2**20:
+            block_b //= 2
+    while B % block_b:
+        block_b -= 1
+    tile = lambda T: pl.BlockSpec(
+        (block_b, T, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [tile(Tq), tile(S), tile(S), tile(Tq)]
+    operands = [q, k, v, do]
+    if key_mask is not None:
+        in_specs.append(
+            pl.BlockSpec((block_b, S), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(key_mask.astype(jnp.float32))
+        kernel = functools.partial(
+            _nhd_bwd_kernel, scale=scale, causal=causal, num_heads=num_heads
+        )
+    else:
+        kernel = functools.partial(
+            _nhd_bwd_kernel_nokm, scale=scale, causal=causal, num_heads=num_heads
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // block_b,),
+        in_specs=in_specs,
+        out_specs=[tile(Tq), tile(S), tile(S)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Tq, D), q.dtype),
+            jax.ShapeDtypeStruct((B, S, D), k.dtype),
+            jax.ShapeDtypeStruct((B, S, D), v.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * num_heads * Tq * S * dh,
+            bytes_accessed=(3 * Tq + 4 * S) * B * D * q.dtype.itemsize,
+            transcendentals=B * num_heads * Tq * S,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def attention_nhd_diff(
+    q, k, v, key_mask, num_heads, causal=False, block_b=0, interpret=False
+):
+    """Differentiable ``attention_nhd`` (custom VJP, recompute-style backward
+    kernel) — lets the training path keep the transpose-free [B, T, D]
+    layout in both passes. ``key_mask`` gets a zero cotangent (attention
+    masks are not trained)."""
+    return attention_nhd(
+        q, k, v, num_heads,
+        key_mask=key_mask, causal=causal, block_b=block_b, interpret=interpret,
+    )
+
+
+def _attention_nhd_fwd(q, k, v, key_mask, num_heads, causal, block_b, interpret):
+    out = attention_nhd(
+        q, k, v, num_heads,
+        key_mask=key_mask, causal=causal, block_b=block_b, interpret=interpret,
+    )
+    return out, (q, k, v, key_mask)
+
+
+def _attention_nhd_bwd(num_heads, causal, block_b, interpret, res, g):
+    q, k, v, key_mask = res
+    dq, dk, dv = _attention_nhd_bwd_call(
+        q, k, v, g.astype(q.dtype), key_mask, num_heads,
+        causal=causal, block_b=block_b, interpret=interpret,
+    )
+    dkm = None if key_mask is None else jnp.zeros_like(key_mask)
+    return dq, dk, dv, dkm
+
+
+attention_nhd_diff.defvjp(_attention_nhd_fwd, _attention_nhd_bwd)
+
+
 def _make_flash_kernel(
     has_mask: bool,
     has_key_mask: bool,

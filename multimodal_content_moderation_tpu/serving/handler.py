@@ -34,7 +34,9 @@ def model_fn(model_dir: str, encoder_dir: Optional[str] = None):
     container): MMHARM_ENGINE=fast selects the u8 wire + Pallas embed path,
     MMHARM_PRECISION in {fp32, bf16, bf16_fast} sets compute precision,
     MMHARM_IMAGE_BACKEND in {pil, native, native_scaled} picks the JPEG
-    decode path (native_* = fused C++ libjpeg, GIL-free)."""
+    decode path (native_* = fused C++ libjpeg, GIL-free), and
+    MMHARM_ATTENTION in {xla, pallas} picks the attention core (pallas =
+    fused TPU kernels)."""
     import os
 
     from multimodal_content_moderation_tpu.cli.inference import MultiModalClassifier
@@ -45,6 +47,7 @@ def model_fn(model_dir: str, encoder_dir: Optional[str] = None):
         precision=os.environ.get("MMHARM_PRECISION", "fp32"),
         engine=os.environ.get("MMHARM_ENGINE", "standard"),
         image_backend=os.environ.get("MMHARM_IMAGE_BACKEND", "pil"),
+        attention=os.environ.get("MMHARM_ATTENTION", "xla"),
     )
 
 

@@ -313,6 +313,27 @@ def test_evaluate_cli_fast_engine_matches_standard(trained_run, data_dir, tmp_pa
     assert m_fast["roc_auc_macro"] == pytest.approx(m_std["roc_auc_macro"], abs=1e-4)
 
 
+def test_evaluate_cli_pallas_attention_matches_xla(trained_run, data_dir, tmp_path):
+    """--attention pallas (the [B,T,D]-layout fused kernel at these seq
+    lengths; interpret mode on CPU) must reproduce the XLA path's metrics."""
+    from multimodal_content_moderation_tpu.cli import evaluate as eval_cli
+
+    out, result = trained_run
+    ckpt = result["result"]["best_checkpoint"]
+    common = [
+        "--checkpoint", ckpt,
+        "--test_csv", f"{data_dir}/test.csv",
+        "--image_root", f"{data_dir}/images",
+        "--batch_size", "8",
+    ]
+    m_xla = eval_cli.main(common + ["--output", str(tmp_path / "xla.json")])
+    m_pal = eval_cli.main(
+        common + ["--attention", "pallas", "--output", str(tmp_path / "pal.json")]
+    )
+    assert m_pal["f1_macro"] == pytest.approx(m_xla["f1_macro"], abs=1e-6)
+    assert m_pal["roc_auc_macro"] == pytest.approx(m_xla["roc_auc_macro"], abs=1e-4)
+
+
 @pytest.mark.slow
 def test_train_cli_u8_wire(config_file, tmp_path):
     """training.wire=u8 trains end to end (u8 crops on the wire, normalize

@@ -230,6 +230,59 @@ class TestAttentionNHD:
         want = self._reference(q, k, v, h, km, causal)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.parametrize(
+        "B,T,h,causal,with_km",
+        [(4, 50, 12, False, False), (3, 77, 8, True, True)],
+    )
+    def test_vjp_matches_xla_autodiff(self, B, T, h, causal, with_km):
+        """attention_nhd_diff's recompute backward kernel vs jax.grad through
+        the plain einsum chain (interpret mode)."""
+        from multimodal_content_moderation_tpu.ops.pallas_attention import (
+            attention_nhd_diff,
+        )
+
+        def xla_att(q, k, v, km):
+            D = q.shape[2]
+            dh = D // h
+            S = k.shape[1]
+            qh = q.reshape(B, T, h, dh).transpose(0, 2, 1, 3)
+            kh = k.reshape(B, S, h, dh).transpose(0, 2, 1, 3)
+            vh = v.reshape(B, S, h, dh).transpose(0, 2, 1, 3)
+            s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * dh**-0.5
+            if km is not None:
+                s = s + km[:, None, None, :]
+            if causal:
+                r = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+                c = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+                s = jnp.where(c <= r, s, -jnp.inf)
+            p = jax.nn.softmax(s, axis=-1)
+            o = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
+            return o.transpose(0, 2, 1, 3).reshape(B, T, D)
+
+        g = np.random.default_rng(7)
+        D = h * 64
+        q = jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+        k = jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+        v = jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+        km = None
+        if with_km:
+            keep = (g.random((B, T)) < 0.8).astype(np.float32)
+            keep[:, 0] = 1.0
+            km = jnp.asarray((1.0 - keep) * NEG_INF)
+        w = jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+
+        gp = jax.grad(
+            lambda q, k, v: jnp.sum(
+                attention_nhd_diff(q, k, v, km, h, causal, 0, True) * w
+            ),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        gx = jax.grad(
+            lambda q, k, v: jnp.sum(xla_att(q, k, v, km) * w), argnums=(0, 1, 2)
+        )(q, k, v)
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
 
 def test_attention_impl_pallas_in_model():
     """attention_impl='pallas' on the tower config must match the XLA path

@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build(wire: str, scores_dtype: str):
+def build(wire: str, scores_dtype: str, attention: str = "xla"):
     import jax
     import jax.numpy as jnp
 
@@ -44,10 +44,12 @@ def build(wire: str, scores_dtype: str):
         clip_config=dataclasses.replace(
             cfg,
             text=dataclasses.replace(
-                cfg.text, compute_dtype="bfloat16", scores_dtype=scores_dtype
+                cfg.text, compute_dtype="bfloat16", scores_dtype=scores_dtype,
+                attention_impl=attention,
             ),
             vision=dataclasses.replace(
-                cfg.vision, compute_dtype="bfloat16", scores_dtype=scores_dtype
+                cfg.vision, compute_dtype="bfloat16", scores_dtype=scores_dtype,
+                attention_impl=attention,
             ),
         ),
     )
@@ -129,9 +131,14 @@ def main():
         "--sweep", type=str, default="",
         help="comma-separated batch sizes to sweep (e.g. 64,128,192,256)",
     )
+    ap.add_argument(
+        "--attention", choices=["xla", "pallas"], default="xla",
+        help="attention core (pallas = [B,T,D]-layout kernel with custom "
+        "VJP in fwd AND bwd — training.attention: pallas in configs)",
+    )
     args = ap.parse_args()
 
-    model = build(args.wire, args.scores_dtype)
+    model = build(args.wire, args.scores_dtype, args.attention)
     sizes = (
         [int(s) for s in args.sweep.split(",") if s] if args.sweep else [args.batch]
     )
@@ -151,6 +158,7 @@ def main():
                 "ms_per_step": best["ms_per_step"],
                 "wire": args.wire,
                 "scores_dtype": args.scores_dtype,
+                "attention": args.attention,
                 "sweep": results if len(results) > 1 else None,
             }
         )
