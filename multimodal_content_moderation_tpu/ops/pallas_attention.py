@@ -238,7 +238,11 @@ def _nhd_bwd_body(
     """Backward for ``attention_nhd``: recompute the softmax per head (short
     seq — cheaper than storing [B, h, T, S] probabilities in HBM) and form
     dq/dk/dv with bB-batched MXU matmuls, all in the natural [bB, T, D]
-    layout."""
+    layout. ``num_heads`` here is the number of heads IN THIS BLOCK: the
+    grid is (batch-block, head-pair) with 128-wide D blocks — unrolling all
+    12 heads x 5 dots x bB batched matmuls in one kernel body made the
+    Mosaic compile blow past 400 s; two heads per instance compiles in
+    seconds and pipelines the same."""
     qa = q_ref[...]
     ka = k_ref[...]
     va = v_ref[...]
@@ -318,34 +322,43 @@ def _attention_nhd_bwd_call(
     S = k.shape[1]
     dh = D // num_heads
     scale = float(dh) ** -0.5
+    # heads per grid block: smallest pack whose D-block is a legal lane
+    # multiple (>=128); falls back to all heads in one block if they don't
+    # divide evenly (e.g. dh=96)
+    hpb = max(1, -(-128 // dh))
+    if num_heads % hpb:
+        hpb = num_heads
+    dblk = dh * hpb
+    if dblk % 128 and dblk != D:
+        hpb, dblk = num_heads, D
     if not block_b:
         block_b = 8
-        # 7 [*, T, D] tiles live per step (q/k/v/do in, dq/dk/dv out)
-        per_item = (3 * Tq + 4 * S) * D * q.dtype.itemsize
+        # 7 [*, T, dblk] tiles live per step (q/k/v/do in, dq/dk/dv out)
+        per_item = (3 * Tq + 4 * S) * dblk * q.dtype.itemsize
         while block_b > 1 and block_b * per_item > 5 * 2**20:
             block_b //= 2
     while B % block_b:
         block_b -= 1
     tile = lambda T: pl.BlockSpec(
-        (block_b, T, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (block_b, T, dblk), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
     in_specs = [tile(Tq), tile(S), tile(S), tile(Tq)]
     operands = [q, k, v, do]
     if key_mask is not None:
         in_specs.append(
-            pl.BlockSpec((block_b, S), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((block_b, S), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
         )
         operands.append(key_mask.astype(jnp.float32))
         kernel = functools.partial(
-            _nhd_bwd_kernel, scale=scale, causal=causal, num_heads=num_heads
+            _nhd_bwd_kernel, scale=scale, causal=causal, num_heads=hpb
         )
     else:
         kernel = functools.partial(
-            _nhd_bwd_kernel_nokm, scale=scale, causal=causal, num_heads=num_heads
+            _nhd_bwd_kernel_nokm, scale=scale, causal=causal, num_heads=hpb
         )
     return pl.pallas_call(
         kernel,
-        grid=(B // block_b,),
+        grid=(B // block_b, num_heads // hpb),
         in_specs=in_specs,
         out_specs=[tile(Tq), tile(S), tile(S)],
         out_shape=[
