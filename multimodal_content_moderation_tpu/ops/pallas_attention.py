@@ -1,9 +1,16 @@
 """Pallas TPU kernels: fused attention.
 
-Two kernels, selected by sequence length:
+Three kernels, selected by sequence length and layout:
 
-- ``attention_small``: the encoder workloads here are short (CLIP text 77
-  tokens, ViT-B/32 50, SigLIP 196/64). One (batch*heads) grid step holds the
+- ``attention_nhd`` (+ ``attention_nhd_diff``, its custom-VJP form): THE
+  in-model short-seq path. Consumes the QKV projections' natural [B, T, D]
+  layout — no [B, H, T, dh] transpose exists anywhere in the HLO (the XLA
+  path loses 5.4 ms/batch at B=192/T=50 to those layout copies, as much as
+  the attention GEMMs themselves). Heads are peeled off with lane slices in
+  VMEM; bB-batched MXU matmuls per head; fp32 softmax; causal/key-padding
+  applied in-kernel. Differentiable via a recompute backward kernel.
+- ``attention_small``: pre-split [BH, T, dh] variant (kept for the
+  ``fused_mha`` dense-mask path). One (batch*heads) grid step holds the
   whole [T, dh] tile in VMEM and fuses QK^T -> bias -> softmax -> V, so the
   [B, H, T, T] score tensor never touches HBM (XLA materializes it;
   ~380 MB/layer round-trip at B=500, T=77).
