@@ -283,6 +283,44 @@ class TestAttentionNHD:
         for a, b in zip(gp, gx):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
+    @pytest.mark.parametrize("h,dh", [(4, 96), (4, 128), (3, 64)])
+    def test_bwd_head_pack_fallbacks(self, h, dh):
+        """The backward kernel packs heads into 128-wide D blocks; odd head
+        dims (96 -> full-D fallback, 128 -> one head per block, odd head
+        counts) must still match XLA autodiff."""
+        from multimodal_content_moderation_tpu.ops.pallas_attention import (
+            attention_nhd_diff,
+        )
+
+        g = np.random.default_rng(3)
+        B, T = 2, 16
+        D = h * dh
+        q = jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+        k = jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+        v = jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+        w = jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+
+        def xla_att(q, k, v):
+            qh = q.reshape(B, T, h, dh).transpose(0, 2, 1, 3)
+            kh = k.reshape(B, T, h, dh).transpose(0, 2, 1, 3)
+            vh = v.reshape(B, T, h, dh).transpose(0, 2, 1, 3)
+            s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * dh**-0.5
+            p = jax.nn.softmax(s, axis=-1)
+            o = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
+            return o.transpose(0, 2, 1, 3).reshape(B, T, D)
+
+        gp = jax.grad(
+            lambda q, k, v: jnp.sum(
+                attention_nhd_diff(q, k, v, None, h, False, 0, True) * w
+            ),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        gx = jax.grad(
+            lambda q, k, v: jnp.sum(xla_att(q, k, v) * w), argnums=(0, 1, 2)
+        )(q, k, v)
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
 
 def test_attention_impl_pallas_in_model():
     """attention_impl='pallas' on the tower config must match the XLA path
