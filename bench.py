@@ -135,19 +135,29 @@ def _bench_e2e_in(engine, tmp: str) -> dict:
         ),
         SEQ,
         class_names=["racist", "sexist", "homophobe", "religion", "otherhate"],
+        cache_dir=os.path.join(tmp, "cache"),
     )
     logits, _ = evaluate_logits_u8(engine, ds, BATCH)
     _ = float(logits[-1, 0])  # value fetch = true barrier
     dt = time.perf_counter() - t0
+
+    # warm pass: the decode-once pixel cache (data/cache.py) is now filled,
+    # so this measures the repeat-evaluation path (multi-epoch fine-tune /
+    # threshold calibration / rerun) — decode drops out entirely
+    t0 = time.perf_counter()
+    logits, _ = evaluate_logits_u8(engine, ds, BATCH)
+    _ = float(logits[-1, 0])
+    dt_warm = time.perf_counter() - t0
     return {
         "e2e_samples_per_s": round(E2E_ROWS / dt, 1),
+        "e2e_cached_samples_per_s": round(E2E_ROWS / dt_warm, 1),
         "e2e_rows": E2E_ROWS,
         "e2e_host_cpus": os.cpu_count(),
         "e2e_vs_baseline": round(E2E_ROWS / dt / 400.9, 2),
         # measured ~125 img/s/core JPEG decode+resize (tools/bench_input.py);
-        # on this 1-CPU host e2e is decode-bound, the chip itself sustains
-        # the headline rate. Real TPU hosts have ~100+ cores.
-        "e2e_note": "decode-bound on 1-CPU host; device path = headline value",
+        # on this 1-CPU host the cold pass is decode-bound, the chip itself
+        # sustains the headline rate. Real TPU hosts have ~100+ cores.
+        "e2e_note": "cold pass decode-bound on 1-CPU host; cached pass = decode-once cache",
     }
 
 

@@ -61,6 +61,14 @@ def parse_args(argv=None):
         "during decode (fastest host pipeline)",
     )
     parser.add_argument(
+        "--image_cache",
+        type=str,
+        default=None,
+        help="directory for the decode-once pixel cache (data/cache.py): "
+        "the first pass decodes and fills a memmap, repeat evaluations "
+        "of the same CSV become device-bound",
+    )
+    parser.add_argument(
         "--device",
         type=str,
         default=None,
@@ -133,6 +141,7 @@ def main(argv=None):
         preproc,
         min(int(config.get("max_text_length", 77)), model.text_max_positions),
         class_names=class_names if len(class_names) > 1 else None,
+        cache_dir=args.image_cache,
     )
     print(f"Test samples: {len(test_ds)}")
 

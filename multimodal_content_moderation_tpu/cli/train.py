@@ -160,6 +160,11 @@ def main(argv=None) -> Dict[str, Any]:
         max_len,
         class_names=class_names or None,
         is_train=train,
+        # decode-once pixel cache (data/cache.py): epoch 2+ reads a memmap
+        # instead of re-decoding JPEGs. No-op for augmenting preprocessors
+        # (the train set when augmentation.enabled), so it's safe to pass
+        # for every split.
+        cache_dir=data_cfg.get("image_cache") or None,
     )
     train_ds = mk_ds(data_cfg["train_csv"], train_pp, True)
     val_ds = mk_ds(data_cfg["val_csv"], eval_pp, False)

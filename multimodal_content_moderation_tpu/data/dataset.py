@@ -38,6 +38,7 @@ class CSVDataset:
         max_text_length: int = 77,
         class_names: Optional[List[str]] = None,
         is_train: bool = False,
+        cache_dir: Optional[str] = None,
     ):
         self.df = pd.read_csv(csv_path)
         self.image_root = image_root
@@ -81,6 +82,17 @@ class CSVDataset:
             self.texts, max_text_length
         )
 
+        # Decode-once pixel cache (data/cache.py): lazily filled on the first
+        # pass, then every later epoch / eval rerun reads a memmap instead of
+        # re-decoding JPEGs. Augmenting preprocessors are never cached.
+        self.cache = None
+        if cache_dir and not preprocessor.augment:
+            from multimodal_content_moderation_tpu.data.cache import PixelCache
+
+            self.cache = PixelCache(
+                cache_dir, self.paths, image_root, preprocessor
+            )
+
     def __len__(self) -> int:
         return len(self.texts)
 
@@ -89,7 +101,14 @@ class CSVDataset:
         return self.labels.shape[1]
 
     def load_image(self, i: int):
-        return self.preproc.load_relative(self.paths[i], self.image_root)
+        if self.cache is not None:
+            hit = self.cache.get(i)
+            if hit is not None:
+                return hit
+        arr, present = self.preproc.load_relative(self.paths[i], self.image_root)
+        if self.cache is not None:
+            self.cache.put(i, arr, present)
+        return arr, present
 
     def get_example(self, i: int) -> Dict[str, np.ndarray]:
         pixel, present = self.load_image(i)

@@ -244,6 +244,78 @@ def test_dataset_multilabel(synthetic_csv, tiny_vocab_dir):
     assert stacked["labels"].shape == (3, 5)
 
 
+class TestPixelCache:
+    """Decode-once cache (data/cache.py): fills on first pass, serves
+    identical arrays afterwards without touching the image files."""
+
+    CLASSES = ["racist", "sexist", "homophobe", "religion", "otherhate"]
+
+    def _ds(self, csv, root, tok, cache_dir, output="float_nchw"):
+        return CSVDataset(
+            csv, root, tok, ImagePreprocessor(32, 32, output=output),
+            max_text_length=16, class_names=self.CLASSES,
+            cache_dir=cache_dir,
+        )
+
+    def test_fill_then_serve_without_files(self, synthetic_csv, tiny_vocab_dir, tmp_path):
+        import shutil
+
+        csv, root = synthetic_csv
+        tok = load_tokenizer(tiny_vocab_dir)
+        cache = str(tmp_path / "cache")
+        ds = self._ds(csv, root, tok, cache)
+        cold = [ds.load_image(i) for i in range(len(ds))]
+        assert ds.cache.hit_count == len(ds)
+
+        # same signature -> same cache; delete the images, answers unchanged
+        ds2 = self._ds(csv, root, tok, cache)
+        assert ds2.cache.hit_count == len(ds2)
+        shutil.rmtree(os.path.join(root, "images"))
+        for i, (arr, present) in enumerate(cold):
+            arr2, present2 = ds2.load_image(i)
+            np.testing.assert_array_equal(arr, arr2)
+            assert present == present2
+        # missing-image rows cached too (zeros + present 0)
+        assert ds2.load_image(0)[1] == 0.0
+
+    def test_preproc_change_invalidates(self, synthetic_csv, tiny_vocab_dir, tmp_path):
+        csv, root = synthetic_csv
+        tok = load_tokenizer(tiny_vocab_dir)
+        cache = str(tmp_path / "cache")
+        ds = self._ds(csv, root, tok, cache)
+        for i in range(len(ds)):
+            ds.load_image(i)
+        # different output layout -> fresh (cold) cache subdir, u8 shapes
+        ds_u8 = self._ds(csv, root, tok, cache, output="uint8_hwc")
+        assert ds_u8.cache.hit_count == 0
+        arr, _ = ds_u8.load_image(1)
+        assert arr.dtype == np.uint8 and arr.shape == (32, 32, 3)
+        assert ds_u8.cache.dir != ds.cache.dir
+
+    def test_augmenting_preprocessor_bypasses_cache(
+        self, synthetic_csv, tiny_vocab_dir, tmp_path
+    ):
+        csv, root = synthetic_csv
+        tok = load_tokenizer(tiny_vocab_dir)
+        pp = ImagePreprocessor(32, 32, is_train=True, augment=True)
+        ds = CSVDataset(
+            csv, root, tok, pp, 16, class_names=self.CLASSES,
+            cache_dir=str(tmp_path / "cache"),
+        )
+        assert ds.cache is None  # random outputs are never cached
+
+    def test_batches_read_from_cache(self, synthetic_csv, tiny_vocab_dir, tmp_path):
+        csv, root = synthetic_csv
+        tok = load_tokenizer(tiny_vocab_dir)
+        cache = str(tmp_path / "cache")
+        ds = self._ds(csv, root, tok, cache)
+        warm = list(ds.batches(4, pad_to_batch=True))
+        again = list(self._ds(csv, root, tok, cache).batches(4, pad_to_batch=True))
+        for a, b in zip(warm, again):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+
 def test_dataset_binary(tmp_path, tiny_vocab_dir):
     import pandas as pd
 
