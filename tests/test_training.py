@@ -395,6 +395,51 @@ def test_pallas_attention_grad_matches_xla():
     assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
 
 
+def test_pallas_attention_grad_under_remat():
+    """gradient_checkpointing (cfg.remat) + the custom-VJP Pallas attention
+    must compose: remat recomputes the kernel forward, then the custom
+    backward kernel runs — grads must equal the plain XLA path's."""
+    import dataclasses
+
+    from multimodal_content_moderation_tpu.models import CLIPConfig, FusionModel
+    from multimodal_content_moderation_tpu.models.clip import (
+        CLIPTextConfig,
+        CLIPVisionConfig,
+    )
+
+    cfg = CLIPConfig(
+        text=CLIPTextConfig(vocab_size=64, hidden_size=16, num_layers=2, num_heads=2,
+                            intermediate_size=32, max_positions=8, eos_token_id=63),
+        vision=CLIPVisionConfig(hidden_size=16, num_layers=2, num_heads=2,
+                                intermediate_size=32, image_size=16, patch_size=8),
+        projection_dim=16,
+    )
+    cfg_pr = dataclasses.replace(
+        cfg,
+        text=dataclasses.replace(cfg.text, attention_impl="pallas", remat=True),
+        vision=dataclasses.replace(cfg.vision, attention_impl="pallas", remat=True),
+    )
+    m1 = FusionModel.create("clip", num_labels=2, fusion_dim=8, clip_config=cfg)
+    m2 = FusionModel.create("clip", num_labels=2, fusion_dim=8, clip_config=cfg_pr)
+    params = m1.init(jax.random.key(0))
+    g = np.random.default_rng(0)
+    batch = {
+        "input_ids": g.integers(1, 63, size=(4, 8)),
+        "attention_mask": np.ones((4, 8), np.int32),
+        "pixel_values": g.normal(size=(4, 3, 16, 16)).astype(np.float32),
+        "text_present": np.ones((4,), np.float32),
+        "image_present": np.ones((4,), np.float32),
+        "labels": (g.random((4, 2)) < 0.5).astype(np.float32),
+    }
+    l1, g1 = jax.value_and_grad(lambda p: m1.apply(p, batch)["loss"])(params)
+    l2, g2 = jax.value_and_grad(lambda p: m2.apply(p, batch)["loss"])(params)
+    assert float(l1) == pytest.approx(float(l2), abs=1e-6)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g1, g2
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+
 @pytest.mark.slow
 def test_trainer_resume_from_checkpoint(tiny_setup, tmp_path):
     """Train 1 epoch, resume 'auto', finish a second epoch — loop counters,
