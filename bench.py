@@ -141,13 +141,16 @@ def _bench_e2e_in(engine, tmp: str) -> dict:
     _ = float(logits[-1, 0])  # value fetch = true barrier
     dt = time.perf_counter() - t0
 
-    # warm pass: the decode-once pixel cache (data/cache.py) is now filled,
+    # warm passes: the decode-once pixel cache (data/cache.py) is now filled,
     # so this measures the repeat-evaluation path (multi-epoch fine-tune /
-    # threshold calibration / rerun) — decode drops out entirely
-    t0 = time.perf_counter()
-    logits, _ = evaluate_logits_u8(engine, ds, BATCH)
-    _ = float(logits[-1, 0])
-    dt_warm = time.perf_counter() - t0
+    # threshold calibration / rerun) — decode drops out entirely; best-of-2
+    # because single passes are exposed to tunnel stalls
+    dt_warm = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        logits, _ = evaluate_logits_u8(engine, ds, BATCH)
+        _ = float(logits[-1, 0])
+        dt_warm = min(dt_warm, time.perf_counter() - t0)
     return {
         "e2e_samples_per_s": round(E2E_ROWS / dt, 1),
         "e2e_cached_samples_per_s": round(E2E_ROWS / dt_warm, 1),

@@ -90,13 +90,44 @@ def evaluate_logits_u8(
     bounded in-flight window) but on the u8 wire format — this is the
     measurement boundary the reference's 400.9 samples/s uses (its evaluate
     loop includes the DataLoader, scripts/evaluate.py:163-183)."""
+    import queue
+    import threading
+
+    # Host batch prep (decode-or-cache-read + u8 patch extraction) runs on a
+    # background thread, two batches ahead, so it overlaps the host->device
+    # transfer + dispatch of the current batch — without this the pipeline
+    # serializes prep and transfer per batch (measured ~2x on a
+    # transfer-bound link).
+    q: queue.Queue = queue.Queue(maxsize=2)
+    _END = object()
+    err: list = []
+
+    def producer():
+        try:
+            for batch in dataset.batches(
+                batch_size, pad_to_batch=True, num_workers=num_workers
+            ):
+                valid = int(batch.pop("_valid"))
+                labels = batch.pop("labels")[:valid]
+                patches = engine.patches_from_hwc(batch["pixel_values"])
+                q.put((valid, labels, batch, patches))
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    threading.Thread(target=producer, daemon=True).start()
+
     all_logits, all_labels, valids, outs = [], [], [], []
-    for batch in dataset.batches(
-        batch_size, pad_to_batch=True, num_workers=num_workers
-    ):
-        valids.append(int(batch.pop("_valid")))
-        all_labels.append(batch.pop("labels")[: valids[-1]])
-        patches = engine.patches_from_hwc(batch["pixel_values"])
+    while True:
+        item = q.get()
+        if item is _END:
+            if err:
+                raise err[0]
+            break
+        valid, labels, batch, patches = item
+        valids.append(valid)
+        all_labels.append(labels)
         outs.append(
             engine(
                 batch["input_ids"],
