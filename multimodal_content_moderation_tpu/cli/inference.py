@@ -112,27 +112,36 @@ class MultiModalClassifier:
     def _logits(
         self, texts: List[str], image_paths: List[str], image_root: str = ""
     ) -> np.ndarray:
+        import concurrent.futures as cf
+        import queue
+        import threading
+
         n = len(texts)
         bs = self.batch_size
         out = np.empty((n, len(self.class_names)), np.float32)
-        for s in range(0, n, bs):
+
+        # Images decode on a thread pool (GIL-free in the native backends)
+        # and whole batches are prepared one ahead on a producer thread, so
+        # host prep overlaps the device dispatch of the previous batch —
+        # the same pipelining the evaluate path uses.
+        pool = cf.ThreadPoolExecutor(max_workers=8)
+
+        def build(s: int):
             ts = texts[s : s + bs]
             ps = image_paths[s : s + bs]
             valid = len(ts)
             ids, mask = self.tokenizer.encode_batch(ts, self.max_len)
-            pix, ipres = [], []
-            for p in ps:
-                arr, pres = self.preproc.load_relative(p, image_root)
-                pix.append(arr)
-                ipres.append(pres)
+            results = list(
+                pool.map(lambda p: self.preproc.load_relative(p, image_root), ps)
+            )
             batch = {
                 "input_ids": ids,
                 "attention_mask": mask,
-                "pixel_values": np.stack(pix),
+                "pixel_values": np.stack([r[0] for r in results]),
                 "text_present": np.asarray(
                     [1.0 if (t or "").strip() else 0.0 for t in ts], np.float32
                 ),
-                "image_present": np.asarray(ipres, np.float32),
+                "image_present": np.asarray([r[1] for r in results], np.float32),
             }
             if valid < bs:  # pad to the fixed batch shape (no recompiles)
                 pad = bs - valid
@@ -142,7 +151,33 @@ class MultiModalClassifier:
                     )
                     for k, v in batch.items()
                 }
-            out[s : s + valid] = self.forward_batch(batch, valid)
+            return s, valid, batch
+
+        q: queue.Queue = queue.Queue(maxsize=2)
+        _END = object()
+        err: list = []
+
+        def producer():
+            try:
+                for s in range(0, n, bs):
+                    q.put(build(s))
+            except BaseException as e:  # propagate into the consumer
+                err.append(e)
+            finally:
+                q.put(_END)
+
+        threading.Thread(target=producer, daemon=True).start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    if err:
+                        raise err[0]
+                    break
+                s, valid, batch = item
+                out[s : s + valid] = self.forward_batch(batch, valid)
+        finally:
+            pool.shutdown(wait=False)
         return out
 
     def forward_batch(self, batch: Dict[str, np.ndarray], valid: int) -> np.ndarray:

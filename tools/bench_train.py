@@ -30,18 +30,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build(wire: str, scores_dtype: str, attention: str = "xla"):
+def build(wire: str, scores_dtype: str, attention: str = "xla", backend: str = "clip"):
     import jax
-    import jax.numpy as jnp
 
-    from multimodal_content_moderation_tpu.data.images import CLIP_MEAN, CLIP_STD
+    from multimodal_content_moderation_tpu.data.images import (
+        CLIP_MEAN, CLIP_STD, SIGLIP_MEAN, SIGLIP_STD,
+    )
     from multimodal_content_moderation_tpu.models import FusionModel
 
-    base = FusionModel.create("clip", num_labels=5)
-    cfg = base.clip_config
+    base = FusionModel.create(backend, num_labels=5)
+    field = "clip_config" if backend == "clip" else "siglip_config"
+    cfg = getattr(base, field)
     model = dataclasses.replace(
         base,
-        clip_config=dataclasses.replace(
+        **{field: dataclasses.replace(
             cfg,
             text=dataclasses.replace(
                 cfg.text, compute_dtype="bfloat16", scores_dtype=scores_dtype,
@@ -51,13 +53,16 @@ def build(wire: str, scores_dtype: str, attention: str = "xla"):
                 cfg.vision, compute_dtype="bfloat16", scores_dtype=scores_dtype,
                 attention_impl=attention,
             ),
-        ),
+        )},
     )
     if wire == "u8":
+        mean, std = (
+            (CLIP_MEAN, CLIP_STD) if backend == "clip" else (SIGLIP_MEAN, SIGLIP_STD)
+        )
         model = dataclasses.replace(
             model,
-            image_mean=CLIP_MEAN,
-            image_std=CLIP_STD,
+            image_mean=mean,
+            image_std=std,
             embed_impl="pallas" if jax.default_backend() not in ("cpu",) else "reference",
         )
     return model
@@ -83,15 +88,19 @@ def run_once(model, wire: str, B: int, steps: int) -> float:
     rng = jax.random.key(0)
     train_step = make_train_step(model, tx)
     img = model.image_size
-    patch = model.clip_config.vision.patch_size
+    cfg = model.clip_config if model.backend == "clip" else model.siglip_config
+    patch = cfg.vision.patch_size
+    seq = min(cfg.text.max_positions, 77)
+    vocab = cfg.text.vocab_size
+    eos = getattr(cfg.text, "eos_token_id", vocab - 1)
 
     def batch(seed):
         gg = np.random.default_rng(seed)
-        ids = gg.integers(1, 49000, size=(B, 77)).astype(np.int32)
-        ids[:, 30] = 49407
+        ids = gg.integers(1, vocab - 2, size=(B, seq)).astype(np.int32)
+        ids[:, seq // 2] = eos
         b = {
             "input_ids": ids,
-            "attention_mask": np.ones((B, 77), np.int32),
+            "attention_mask": np.ones((B, seq), np.int32),
             "text_present": np.ones((B,), np.float32),
             "image_present": np.ones((B,), np.float32),
             "labels": (gg.random((B, 5)) < 0.3).astype(np.float32),
@@ -121,6 +130,7 @@ def run_once(model, wire: str, B: int, steps: int) -> float:
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", choices=["clip", "siglip"], default="clip")
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--wire", choices=["u8", "f32"], default="u8")
@@ -138,7 +148,7 @@ def main():
     )
     args = ap.parse_args()
 
-    model = build(args.wire, args.scores_dtype, args.attention)
+    model = build(args.wire, args.scores_dtype, args.attention, args.backend)
     sizes = (
         [int(s) for s in args.sweep.split(",") if s] if args.sweep else [args.batch]
     )
@@ -159,6 +169,7 @@ def main():
                 "wire": args.wire,
                 "scores_dtype": args.scores_dtype,
                 "attention": args.attention,
+                "backend": args.backend,
                 "sweep": results if len(results) > 1 else None,
             }
         )
