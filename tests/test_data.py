@@ -292,6 +292,21 @@ class TestPixelCache:
         assert arr.dtype == np.uint8 and arr.shape == (32, 32, 3)
         assert ds_u8.cache.dir != ds.cache.dir
 
+    def test_image_file_change_invalidates(self, synthetic_csv, tiny_vocab_dir, tmp_path):
+        csv, root = synthetic_csv
+        tok = load_tokenizer(tiny_vocab_dir)
+        cache = str(tmp_path / "cache")
+        ds = self._ds(csv, root, tok, cache)
+        for i in range(len(ds)):
+            ds.load_image(i)
+        old_dir = ds.cache.dir
+        # rewrite one image (different content AND mtime) -> fresh cache
+        p = os.path.join(root, "images", "im1.png")
+        os.utime(p, (0, 0))
+        ds2 = self._ds(csv, root, tok, cache)
+        assert ds2.cache.dir != old_dir
+        assert ds2.cache.hit_count == 0
+
     def test_augmenting_preprocessor_bypasses_cache(
         self, synthetic_csv, tiny_vocab_dir, tmp_path
     ):
