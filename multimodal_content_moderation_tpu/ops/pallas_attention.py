@@ -102,6 +102,25 @@ def attention_small(
     )(*operands)
 
 
+def _snap_to_divisor(B: int, block_b: int) -> int:
+    """Halve ``block_b`` until it divides ``B``. Halving (never decrementing)
+    keeps batch blocks power-of-2/sublane-aligned: non-power-of-2 blocks
+    send the Mosaic compile off a cliff (measured 134 s at block_b=6 vs
+    1.2 s at 4, B=132/T=50/D=768)."""
+    while block_b > 1 and B % block_b:
+        block_b //= 2
+    return block_b
+
+
+def _pick_block_b(B: int, per_item_bytes: int, budget: int = 5 * 2**20) -> int:
+    """Default batch-block: start at 8, halve under the VMEM block budget,
+    then snap to a power-of-2 divisor of ``B``."""
+    block_b = 8
+    while block_b > 1 and block_b * per_item_bytes > budget:
+        block_b //= 2
+    return _snap_to_divisor(B, block_b)
+
+
 def _nhd_body(
     q_ref, k_ref, v_ref, km_ref, o_ref, *, scale: float, causal: bool, num_heads: int
 ):
@@ -114,7 +133,7 @@ def _nhd_body(
     qa = q_ref[...]  # [bB, Tq, D]
     ka = k_ref[...]  # [bB, S, D]
     va = v_ref[...]
-    km = km_ref[...][:, None, :] if km_ref is not None else None  # [bB, 1, S]
+    km = km_ref[...] if km_ref is not None else None  # [bB, 1, S]
     dh = qa.shape[2] // num_heads
     Tq, S = qa.shape[1], ka.shape[1]
     if causal:
@@ -195,15 +214,13 @@ def attention_nhd(
     dh = D // num_heads
     scale = float(dh) ** -0.5
     if not block_b:
-        block_b = 8  # measured best at B=192/T=50 (0.748 ms vs 0.862 @ 16)
-        # shrink to a ~5 MB input+output block budget (x2 for double
-        # buffering + fp32 softmax temporaries must fit in ~16 MB VMEM);
-        # e.g. SigLIP T=196/D=768 -> block_b 4
-        per_item = (Tq + 3 * S) * D * q.dtype.itemsize
-        while block_b > 1 and block_b * per_item > 5 * 2**20:
-            block_b //= 2
-    while B % block_b:
-        block_b -= 1
+        # measured best at B=192/T=50: 8 (0.748 ms vs 0.862 @ 16); shrink to
+        # a ~5 MB input+output block budget (x2 for double buffering + fp32
+        # softmax temporaries must fit in ~16 MB VMEM); e.g. SigLIP
+        # T=196/D=768 -> block_b 4
+        block_b = _pick_block_b(B, (Tq + 3 * S) * D * q.dtype.itemsize)
+    else:
+        block_b = _snap_to_divisor(B, block_b)
 
     tile = lambda T: pl.BlockSpec(
         (block_b, T, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -211,10 +228,15 @@ def attention_nhd(
     in_specs = [tile(Tq), tile(S), tile(S)]
     operands = [q, k, v]
     if key_mask is not None:
+        # carried as [B, 1, S] so the block's last-two dims equal the array's
+        # (the 2D [block_b, S] form is only a legal block when block_b is a
+        # multiple of 8 — this works for every block_b)
         in_specs.append(
-            pl.BlockSpec((block_b, S), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (block_b, 1, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
         )
-        operands.append(key_mask.astype(jnp.float32))
+        operands.append(key_mask.astype(jnp.float32)[:, None, :])
         kernel = functools.partial(
             _nhd_kernel, scale=scale, causal=causal, num_heads=num_heads
         )
@@ -254,7 +276,7 @@ def _nhd_bwd_body(
     ka = k_ref[...]
     va = v_ref[...]
     doa = do_ref[...]
-    km = km_ref[...][:, None, :] if km_ref is not None else None
+    km = km_ref[...] if km_ref is not None else None  # [bB, 1, S]
     dh = qa.shape[2] // num_heads
     Tq, S = qa.shape[1], ka.shape[1]
     if causal:
@@ -339,23 +361,23 @@ def _attention_nhd_bwd_call(
     if dblk % 128 and dblk != D:
         hpb, dblk = num_heads, D
     if not block_b:
-        block_b = 8
         # 7 [*, T, dblk] tiles live per step (q/k/v/do in, dq/dk/dv out)
-        per_item = (3 * Tq + 4 * S) * dblk * q.dtype.itemsize
-        while block_b > 1 and block_b * per_item > 5 * 2**20:
-            block_b //= 2
-    while B % block_b:
-        block_b -= 1
+        block_b = _pick_block_b(B, (3 * Tq + 4 * S) * dblk * q.dtype.itemsize)
+    else:
+        block_b = _snap_to_divisor(B, block_b)
     tile = lambda T: pl.BlockSpec(
         (block_b, T, dblk), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
     in_specs = [tile(Tq), tile(S), tile(S), tile(Tq)]
     operands = [q, k, v, do]
     if key_mask is not None:
+        # [B, 1, S] carrier — same sublane-legality trick as the forward
         in_specs.append(
-            pl.BlockSpec((block_b, S), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (block_b, 1, S), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            )
         )
-        operands.append(key_mask.astype(jnp.float32))
+        operands.append(key_mask.astype(jnp.float32)[:, None, :])
         kernel = functools.partial(
             _nhd_bwd_kernel, scale=scale, causal=causal, num_heads=hpb
         )

@@ -230,6 +230,56 @@ class TestAttentionNHD:
         want = self._reference(q, k, v, h, km, causal)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
+    def test_block_b_picker_stays_power_of_two(self):
+        """Non-power-of-2 batch blocks are a Mosaic compile cliff (134 s at
+        block_b=6 vs 1.2 s at 4) and the 2D mask block is only lowerable
+        when block_b is sublane-aligned — the picker must halve to a
+        power-of-2 divisor, never decrement."""
+        from multimodal_content_moderation_tpu.ops.pallas_attention import (
+            _pick_block_b,
+            _snap_to_divisor,
+        )
+
+        small = 1024  # per-item bytes far under budget -> start at 8
+        assert _pick_block_b(120, small) == 8
+        assert _pick_block_b(144, small) == 8
+        assert _pick_block_b(132, small) == 4  # not 6
+        assert _pick_block_b(156, small) == 4
+        assert _pick_block_b(100, small) == 4
+        assert _pick_block_b(133, small) == 1  # odd batch -> bB=1
+        for B in range(1, 400):
+            bb = _pick_block_b(B, small)
+            assert B % bb == 0 and (bb & (bb - 1)) == 0
+        # explicit block_b also snaps
+        assert _snap_to_divisor(132, 8) == 4
+
+    def test_odd_batch_with_key_mask(self):
+        """B not divisible by 8 + key padding mask — the exact combination
+        that crashed the 2D-mask lowering (block (4, S) on array [B, S]);
+        the [B, 1, S] carrier must make it both legal and correct."""
+        from multimodal_content_moderation_tpu.ops.pallas_attention import (
+            attention_nhd,
+        )
+
+        g = np.random.default_rng(3)
+        B, T, h = 12, 77, 8  # block_b -> 4
+        D = h * 64
+        q = g.normal(size=(B, T, D)).astype(np.float32)
+        k = g.normal(size=(B, T, D)).astype(np.float32)
+        v = g.normal(size=(B, T, D)).astype(np.float32)
+        keep = (g.random((B, T)) < 0.8).astype(np.float32)
+        keep[:, 0] = 1.0
+        km = ((1.0 - keep) * NEG_INF).astype(np.float32)
+        got = np.asarray(
+            attention_nhd(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), h,
+                key_mask=jnp.asarray(km), causal=True, block_b=4,
+                interpret=True,
+            )
+        )
+        want = self._reference(q, k, v, h, km, causal=True)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
     @pytest.mark.parametrize(
         "B,T,h,causal,with_km",
         [(4, 50, 12, False, False), (3, 77, 8, True, True)],
