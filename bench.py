@@ -31,7 +31,8 @@ import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 381.5  # reference clip_fusion test throughput
 N_SAMPLES = 10_080  # 70 batches of 144 (sweet-spot batch for the pallas
-# attention path, measured sweep: 144 -> 9126/9120/9117 samples/s vs
+# attention path, measured sweep: 144 -> 9170 samples/s (bb16/4-head-pack
+# fwd grid) vs
 # 128 -> 8762, 160 -> 7922-8418, 192 -> 8073)
 BATCH = int(os.environ.get("BENCH_BATCH", "144"))  # sweep knob
 SEQ = 77

@@ -32,6 +32,7 @@ replacement for ``ops.layers.mha``'s inner attention.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -112,13 +113,23 @@ def _snap_to_divisor(B: int, block_b: int) -> int:
     return block_b
 
 
-def _pick_block_b(B: int, per_item_bytes: int, budget: int = 5 * 2**20) -> int:
-    """Default batch-block: start at 8, halve under the VMEM block budget,
-    then snap to a power-of-2 divisor of ``B``."""
-    block_b = 8
+def _pick_block_b(
+    B: int, per_item_bytes: int, budget: int = 5 * 2**20, start: int = 8
+) -> int:
+    """Default batch-block: start at ``start``, halve under the VMEM block
+    budget, then snap to a power-of-2 divisor of ``B``."""
+    block_b = start
     while block_b > 1 and block_b * per_item_bytes > budget:
         block_b //= 2
     return _snap_to_divisor(B, block_b)
+
+
+# Forward-grid tuning knobs (sweepable without a code edit; defaults are the
+# measured-best on v5e, full-model headline A/B at B=144:
+# bb16/mult2 9179, bb16/mult1 9151, unrolled-heads 9141, bb8/mult2 9038,
+# bb8/mult1 8872 samples/s — see docs/PERFORMANCE.md)
+_FWD_BLOCK_B = int(os.environ.get("MMHARM_NHD_BLOCK_B", "16"))
+_FWD_HPB_MULT = int(os.environ.get("MMHARM_NHD_HPB_MULT", "2"))
 
 
 def _nhd_body(
@@ -197,10 +208,13 @@ def attention_nhd(
     layout copies around its batched matmuls (measured 5.4 ms/batch at
     B=192/T=50 on v5e — as much device time as the attention GEMMs). This
     kernel takes the QKV projections' natural output layout directly, so no
-    transpose exists anywhere in the HLO: grid (B/bB,), each step loads full
-    [bB, T, D] tiles, peels heads off with static lane slices in VMEM
-    (~22 TB/s, vs HBM for the XLA copies), and runs a bB-batched MXU matmul
-    pair with fp32 softmax per head, writing [bB, Tq, D] straight back.
+    transpose exists anywhere in the HLO: grid (B/bB, heads/hpb), each step
+    loads [bB, T, hpb*dh] tiles of its head pack, peels heads off with
+    static lane slices in VMEM (~22 TB/s, vs HBM for the XLA copies), and
+    runs a bB-batched MXU matmul pair with fp32 softmax per head, writing
+    its D-slice of [bB, Tq, D] straight back. Gridding over head packs
+    (vs unrolling all heads in one body) cut the Mosaic compile from ~95 s
+    to ~3 s per shape at equal-or-better runtime.
 
     Measured (v5e, chained dispatch): B=192/T=50/h=12: 0.75 ms vs 1.10 ms
     XLA einsum-with-transposes and 1.87 ms transpose+``attention_small``.
@@ -213,17 +227,30 @@ def attention_nhd(
     S = k.shape[1]
     dh = D // num_heads
     scale = float(dh) ** -0.5
+    # heads per grid block (same packing rule as the backward): the smallest
+    # pack whose D-block is a legal lane multiple. Gridding over head packs
+    # instead of unrolling all heads in one body cuts the Mosaic compile
+    # from ~95 s to ~2 s for the 12-head vision shape, and each step then
+    # streams only its own D-slice of q/k/v through VMEM.
+    hpb = max(1, -(-128 // dh)) * _FWD_HPB_MULT
+    if num_heads % hpb:
+        hpb = num_heads
+    dblk = dh * hpb
+    if dblk % 128 and dblk != D:
+        hpb, dblk = num_heads, D
     if not block_b:
         # measured best at B=192/T=50: 8 (0.748 ms vs 0.862 @ 16); shrink to
         # a ~5 MB input+output block budget (x2 for double buffering + fp32
         # softmax temporaries must fit in ~16 MB VMEM); e.g. SigLIP
         # T=196/D=768 -> block_b 4
-        block_b = _pick_block_b(B, (Tq + 3 * S) * D * q.dtype.itemsize)
+        block_b = _pick_block_b(
+            B, (Tq + 3 * S) * dblk * q.dtype.itemsize, start=_FWD_BLOCK_B
+        )
     else:
         block_b = _snap_to_divisor(B, block_b)
 
     tile = lambda T: pl.BlockSpec(
-        (block_b, T, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (block_b, T, dblk), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
     in_specs = [tile(Tq), tile(S), tile(S)]
     operands = [q, k, v]
@@ -233,20 +260,20 @@ def attention_nhd(
         # multiple of 8 — this works for every block_b)
         in_specs.append(
             pl.BlockSpec(
-                (block_b, 1, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (block_b, 1, S), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
             )
         )
         operands.append(key_mask.astype(jnp.float32)[:, None, :])
         kernel = functools.partial(
-            _nhd_kernel, scale=scale, causal=causal, num_heads=num_heads
+            _nhd_kernel, scale=scale, causal=causal, num_heads=hpb
         )
     else:
         kernel = functools.partial(
-            _nhd_kernel_nokm, scale=scale, causal=causal, num_heads=num_heads
+            _nhd_kernel_nokm, scale=scale, causal=causal, num_heads=hpb
         )
     return pl.pallas_call(
         kernel,
-        grid=(B // block_b,),
+        grid=(B // block_b, num_heads // hpb),
         in_specs=in_specs,
         out_specs=tile(Tq),
         out_shape=jax.ShapeDtypeStruct((B, Tq, D), q.dtype),
