@@ -122,30 +122,39 @@ def _bench_e2e_in(engine, tmp: str) -> dict:
     with open(csv_path, "w") as f:
         f.write("\n".join(rows) + "\n")
 
-    t0 = time.perf_counter()
-    ds = CSVDataset(
-        csv_path,
-        img_dir,
-        tokenizer,
-        # fused native decode (C++ libjpeg, DCT-scaled) — the fastest
-        # supported production path (--image_backend native_scaled on the
-        # CLIs); transparently falls back to PIL if the toolchain is absent
-        ImagePreprocessor(
-            224, 224, CLIP_MEAN, CLIP_STD,
-            output="uint8_hwc", backend="native_scaled",
-        ),
-        SEQ,
-        class_names=["racist", "sexist", "homophobe", "religion", "otherhate"],
-        cache_dir=os.path.join(tmp, "cache"),
-    )
-    logits, _ = evaluate_logits_u8(engine, ds, BATCH)
-    _ = float(logits[-1, 0])  # value fetch = true barrier
-    dt = time.perf_counter() - t0
+    def make_ds(cache: bool):
+        return CSVDataset(
+            csv_path,
+            img_dir,
+            tokenizer,
+            # fused native decode (C++ libjpeg, DCT-scaled) — the fastest
+            # supported production path (--image_backend native_scaled on the
+            # CLIs); transparently falls back to PIL if the toolchain absent
+            ImagePreprocessor(
+                224, 224, CLIP_MEAN, CLIP_STD,
+                output="uint8_hwc", backend="native_scaled",
+            ),
+            SEQ,
+            class_names=[
+                "racist", "sexist", "homophobe", "religion", "otherhate"
+            ],
+            cache_dir=os.path.join(tmp, "cache") if cache else None,
+        )
 
-    # warm passes: the decode-once pixel cache (data/cache.py) is now filled,
-    # so this measures the repeat-evaluation path (multi-epoch fine-tune /
-    # threshold calibration / rerun) — decode drops out entirely; best-of-2
-    # because single passes are exposed to tunnel stalls
+    # cold passes (every row: CSV read + JPEG decode + resize + u8 wire +
+    # device): best-of-2 because single passes are exposed to tunnel stalls.
+    # The second pass fills the decode-once cache for the warm measurement.
+    dt = float("inf")
+    for cache in (False, True):
+        ds = make_ds(cache)
+        t0 = time.perf_counter()
+        logits, _ = evaluate_logits_u8(engine, ds, BATCH)
+        _ = float(logits[-1, 0])  # value fetch = true barrier
+        dt = min(dt, time.perf_counter() - t0)
+
+    # warm passes: the decode-once pixel cache (data/cache.py) is filled, so
+    # this measures the repeat-evaluation path (multi-epoch fine-tune /
+    # threshold calibration / rerun) — decode drops out entirely
     dt_warm = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
@@ -158,10 +167,11 @@ def _bench_e2e_in(engine, tmp: str) -> dict:
         "e2e_rows": E2E_ROWS,
         "e2e_host_cpus": os.cpu_count(),
         "e2e_vs_baseline": round(E2E_ROWS / dt / 400.9, 2),
-        # measured ~125 img/s/core JPEG decode+resize (tools/bench_input.py);
-        # on this 1-CPU host the cold pass is decode-bound, the chip itself
-        # sustains the headline rate. Real TPU hosts have ~100+ cores.
-        "e2e_note": "cold pass decode-bound on 1-CPU host; cached pass = decode-once cache",
+        # On this bench host both passes cap at the tunnel's ~280 samples/s
+        # u8-batch upload rate (fresh per-batch transfers, measured — see
+        # docs/PERFORMANCE.md); the chip itself sustains the headline rate.
+        # Real TPU hosts have ~100+ decode cores and PCIe.
+        "e2e_note": "host-limited: 1 decode core + ~280/s tunnel transfer ceiling; cached pass = decode-once cache",
     }
 
 

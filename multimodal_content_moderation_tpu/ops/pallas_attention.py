@@ -220,8 +220,8 @@ def attention_nhd(
     XLA einsum-with-transposes and 1.87 ms transpose+``attention_small``.
 
     ``causal`` and ``key_mask`` are applied in-kernel (no mask tensor in
-    HBM). Eval/inference path only (like the other kernels here, it defines
-    no VJP).
+    HBM). This raw call defines no VJP; use ``attention_nhd_diff`` (custom
+    VJP with the recompute backward kernel below) for the training path.
     """
     B, Tq, D = q.shape
     S = k.shape[1]
