@@ -130,6 +130,8 @@ def _pick_block_b(
 # bb8/mult1 8872 samples/s — see docs/PERFORMANCE.md)
 _FWD_BLOCK_B = int(os.environ.get("MMHARM_NHD_BLOCK_B", "16"))
 _FWD_HPB_MULT = int(os.environ.get("MMHARM_NHD_HPB_MULT", "2"))
+# bwd 16 vs 8: 2583 vs 2514 samples/s train step (B=256, v5e)
+_BWD_BLOCK_B = int(os.environ.get("MMHARM_NHD_BWD_BLOCK_B", "16"))
 
 
 def _nhd_body(
@@ -389,7 +391,9 @@ def _attention_nhd_bwd_call(
         hpb, dblk = num_heads, D
     if not block_b:
         # 7 [*, T, dblk] tiles live per step (q/k/v/do in, dq/dk/dv out)
-        block_b = _pick_block_b(B, (3 * Tq + 4 * S) * dblk * q.dtype.itemsize)
+        block_b = _pick_block_b(
+            B, (3 * Tq + 4 * S) * dblk * q.dtype.itemsize, start=_BWD_BLOCK_B
+        )
     else:
         block_b = _snap_to_divisor(B, block_b)
     tile = lambda T: pl.BlockSpec(
