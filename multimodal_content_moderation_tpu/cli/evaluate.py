@@ -153,7 +153,9 @@ def main(argv=None):
             evaluate_logits_u8,
         )
 
-        engine = FastInferenceEngine(model, params, mean, std)
+        # north-star path: the fast engine runs SPMD over the data axis of
+        # the device mesh (single-chip hosts collapse to plain jit)
+        engine = FastInferenceEngine(model, params, mean, std, mesh=build_mesh())
         t0 = time.time()
         logits, labels = evaluate_logits_u8(engine, test_ds, args.batch_size)
         dt = time.time() - t0

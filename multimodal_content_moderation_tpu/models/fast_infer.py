@@ -27,7 +27,22 @@ from multimodal_content_moderation_tpu.ops.pallas_image import extract_patches_u
 
 
 class FastInferenceEngine:
-    """Jitted u8-wire-format forward for a FusionModel or MultiTaskModel."""
+    """Jitted u8-wire-format forward for a FusionModel or MultiTaskModel.
+
+    Multi-chip: pass a ``("data", "model")`` mesh (parallel/mesh.build_mesh)
+    and the forward runs as an SPMD program over the data axis — the batch
+    is sharded across chips, params replicated, and the whole per-shard
+    forward (including the Pallas kernels) executes inside ``jax.shard_map``.
+    shard_map is the supported composition of Mosaic kernels with
+    multi-device execution: each chip runs the kernel on its local shard, so
+    no GSPMD partitioning of the custom call is ever needed. This is the
+    scaled-out version of the reference's eval loop
+    (scripts/evaluate.py:163-183), which was single-device only.
+
+    Single-device meshes (or ``mesh=None``) collapse to a plain ``jax.jit``:
+    mesh-annotated arrays hit a pathologically slow path on some single-chip
+    backends (see parallel/mesh.shard_batch) and SPMD adds nothing.
+    """
 
     def __init__(
         self,
@@ -36,6 +51,7 @@ class FastInferenceEngine:
         mean: Sequence[float],
         std: Sequence[float],
         use_pallas: Optional[bool] = None,
+        mesh=None,
     ):
         if use_pallas is None:
             # the Pallas kernel targets TPU; XLA reference path elsewhere
@@ -66,13 +82,45 @@ class FastInferenceEngine:
             }
             return mdl.apply(params, batch)["logits"].astype(jnp.float32)
 
-        self._forward = jax.jit(forward)
+        self.mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
+        if self.mesh is None:
+            self._forward = jax.jit(forward)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from multimodal_content_moderation_tpu.parallel.mesh import DATA_AXIS
+
+            self._data_size = self.mesh.shape[DATA_AXIS]
+            data = NamedSharding(self.mesh, P(DATA_AXIS))
+            repl = NamedSharding(self.mesh, P())
+            spmd = jax.shard_map(
+                forward,
+                mesh=self.mesh,
+                in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                          P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS),
+                # no cross-shard collectives in the eval forward; skip the
+                # varying-manner analysis (Pallas calls are opaque to it)
+                check_vma=False,
+            )
+            self._forward = jax.jit(
+                spmd,
+                in_shardings=(repl, data, data, data, data, data),
+                out_shardings=data,
+            )
+            self.params = jax.device_put(params, repl)
 
     def patches_from_hwc(self, images_hwc: np.ndarray) -> np.ndarray:
         """[B, H, W, C] uint8 crops -> wire-format patch rows."""
         return extract_patches_u8(images_hwc, self.patch_size)
 
     def __call__(self, ids, mask, patches_u8, text_present, image_present):
+        if self.mesh is not None and ids.shape[0] % self._data_size:
+            raise ValueError(
+                f"batch size {ids.shape[0]} not divisible by the data axis "
+                f"({self._data_size}); pick batch_size as a multiple (the "
+                "eval loop pads the last batch, so any full batch works)"
+            )
         return self._forward(
             self.params, ids, mask, patches_u8, text_present, image_present
         )

@@ -261,3 +261,159 @@ def test_u8_wire_training_step_matches_pixel_step():
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip (SPMD) fast engine — VERDICT r2 #1: the flagship u8/Pallas path
+# must run over the data mesh, not leave N-1 chips idle.
+# ---------------------------------------------------------------------------
+
+
+def _tiny_fusion(seed=0):
+    cfg = CLIPConfig(
+        text=CLIPTextConfig(
+            vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, max_positions=12, eos_token_id=63,
+        ),
+        vision=CLIPVisionConfig(
+            hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,
+            image_size=32, patch_size=16,
+        ),
+        projection_dim=32,
+    )
+    model = FusionModel.create("clip", num_labels=3, fusion_dim=16, clip_config=cfg)
+    return model, model.init(jax.random.key(seed))
+
+
+def _tiny_batch(B=16, seed=0):
+    g = np.random.default_rng(seed)
+    ids = g.integers(1, 62, size=(B, 12)).astype(np.int32)
+    ids[:, 7] = 63
+    mask = np.ones((B, 12), np.int32)
+    imgs_u8 = g.integers(0, 256, size=(B, 32, 32, 3), dtype=np.uint8)
+    ones = np.ones((B,), np.float32)
+    return ids, mask, imgs_u8, ones
+
+
+def test_fast_engine_meshed_matches_single_device():
+    """8-device data-mesh fast engine must produce the exact logits of the
+    single-device engine (shard_map over the data axis is a pure reshard)."""
+    from multimodal_content_moderation_tpu.parallel.mesh import build_mesh
+
+    model, params = _tiny_fusion()
+    ids, mask, imgs_u8, ones = _tiny_batch(B=16)
+
+    single = FastInferenceEngine(model, params, MEAN, STD, use_pallas=False)
+    patches = single.patches_from_hwc(imgs_u8)
+    ref = np.asarray(single(ids, mask, patches, ones, ones))
+
+    mesh = build_mesh()  # 8 x 1 on the virtual CPU mesh
+    assert mesh.devices.size == 8
+    meshed = FastInferenceEngine(
+        model, params, MEAN, STD, use_pallas=False, mesh=mesh
+    )
+    got = np.asarray(meshed(ids, mask, patches, ones, ones))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+    # params actually live replicated on all 8 devices
+    leaf = jax.tree_util.tree_leaves(meshed.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_fast_engine_meshed_with_pallas_kernels():
+    """Pallas patch-embed (interpret) + Pallas attention inside shard_map:
+    the production kernel config composes with the data mesh (VERDICT r2 #2,
+    DP half — each device runs the kernels on its local shard)."""
+    import functools
+
+    from multimodal_content_moderation_tpu.models import model_io
+    from multimodal_content_moderation_tpu.ops import pallas_image
+    from multimodal_content_moderation_tpu.parallel.mesh import build_mesh
+
+    model, params = _tiny_fusion(seed=1)
+    model = model_io.with_performance_options(model, attention_impl="pallas")
+    ids, mask, imgs_u8, ones = _tiny_batch(B=16, seed=1)
+
+    ref_engine = FastInferenceEngine(model, params, MEAN, STD, use_pallas=False)
+    patches = ref_engine.patches_from_hwc(imgs_u8)
+    ref = np.asarray(ref_engine(ids, mask, patches, ones, ones))
+
+    mesh = build_mesh()
+    orig = pallas_image.patch_embed_u8
+    pallas_image.patch_embed_u8 = functools.partial(orig, interpret=True)
+    try:
+        meshed = FastInferenceEngine(
+            model, params, MEAN, STD, use_pallas=True, mesh=mesh
+        )
+        got = np.asarray(meshed(ids, mask, patches, ones, ones))
+    finally:
+        pallas_image.patch_embed_u8 = orig
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_fast_engine_meshed_rejects_indivisible_batch():
+    from multimodal_content_moderation_tpu.parallel.mesh import build_mesh
+
+    model, params = _tiny_fusion()
+    ids, mask, imgs_u8, ones = _tiny_batch(B=6)  # 6 % 8 != 0
+    meshed = FastInferenceEngine(
+        model, params, MEAN, STD, use_pallas=False, mesh=build_mesh()
+    )
+    patches = meshed.patches_from_hwc(imgs_u8)
+    with pytest.raises(ValueError, match="not divisible"):
+        meshed(ids, mask, patches, ones, ones)
+
+
+def test_evaluate_logits_u8_on_mesh(tmp_path):
+    """The streaming u8 eval loop end-to-end on the 8-device mesh: logits
+    must match the single-device loop on the same synthetic dataset."""
+    from multimodal_content_moderation_tpu.data.dataset import CSVDataset
+    from multimodal_content_moderation_tpu.data.images import ImagePreprocessor
+    from multimodal_content_moderation_tpu.models.fast_infer import (
+        evaluate_logits_u8,
+    )
+    from multimodal_content_moderation_tpu.parallel.mesh import build_mesh
+
+    import pandas as pd
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    g = np.random.default_rng(0)
+    rows = []
+    for i in range(20):  # not a multiple of 8: exercises last-batch padding
+        name = f"im{i}.png"
+        Image.fromarray(
+            g.integers(0, 256, size=(36, 40, 3), dtype=np.uint8)
+        ).save(img_dir / name)
+        rows.append(
+            {"text": "aa bb" if i % 2 else "cc dd", "image_path": name,
+             "labels": "racist" if i % 2 else "sexist"}
+        )
+    csv = tmp_path / "test.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    class StubTok:
+        def encode_batch(self, texts, max_length):
+            ids = np.full((len(texts), max_length), 1, np.int32)
+            ids[:, -1] = 63
+            return ids, np.ones((len(texts), max_length), np.int32)
+
+        def __call__(self, texts, max_length):
+            return self.encode_batch(texts, max_length)
+
+    model, params = _tiny_fusion(seed=2)
+    pre = ImagePreprocessor(32, 32, MEAN, STD, output="uint8_hwc")
+    ds = CSVDataset(
+        str(csv), str(img_dir), StubTok(), pre, 12,
+        class_names=["racist", "sexist", "other"],
+    )
+
+    single = FastInferenceEngine(model, params, MEAN, STD, use_pallas=False)
+    lg_ref, lb_ref = evaluate_logits_u8(single, ds, batch_size=8, num_workers=2)
+
+    meshed = FastInferenceEngine(
+        model, params, MEAN, STD, use_pallas=False, mesh=build_mesh()
+    )
+    lg, lb = evaluate_logits_u8(meshed, ds, batch_size=8, num_workers=2)
+    np.testing.assert_allclose(lg, lg_ref, atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(lb, lb_ref)
