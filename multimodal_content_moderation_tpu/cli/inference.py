@@ -156,17 +156,30 @@ class MultiModalClassifier:
         q: queue.Queue = queue.Queue(maxsize=2)
         _END = object()
         err: list = []
+        cancelled = threading.Event()
 
         def producer():
             try:
                 for s in range(0, n, bs):
-                    q.put(build(s))
+                    item = build(s)
+                    # bounded put that re-checks cancellation: if the
+                    # consumer died, a plain q.put could block forever
+                    # (maxsize 2) and leak this thread + the decode pool
+                    while not cancelled.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if cancelled.is_set():
+                        return
             except BaseException as e:  # propagate into the consumer
                 err.append(e)
             finally:
                 q.put(_END)
 
-        threading.Thread(target=producer, daemon=True).start()
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
         try:
             while True:
                 item = q.get()
@@ -177,6 +190,14 @@ class MultiModalClassifier:
                 s, valid, batch = item
                 out[s : s + valid] = self.forward_batch(batch, valid)
         finally:
+            cancelled.set()
+            # drain so the producer's final q.put(_END) cannot block
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:  # pragma: no cover - racy by nature
+                    break
+            t.join(timeout=5)
             pool.shutdown(wait=False)
         return out
 

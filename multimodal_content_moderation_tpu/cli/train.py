@@ -263,6 +263,7 @@ def main(argv=None) -> Dict[str, Any]:
         debug_nans=train_cfg.get("debug_nans", False),
         resume_from_checkpoint=train_cfg.get("resume_from_checkpoint", "") or "",
         wire=wire,
+        accumulator_dtype=train_cfg.get("accumulator_dtype", "") or "",
     )
 
     par_cfg = config.get("parallel", {})

@@ -130,8 +130,14 @@ class PixelCache:
     def put(self, i: int, arr: np.ndarray, present: float) -> None:
         self.pixels[i] = arr
         self.present[i] = present
-        # ordering: the flag goes last so a crash mid-fill loses the entry
-        # rather than serving garbage
+        # The flag is written last so a *process* crash mid-fill loses the
+        # entry rather than serving garbage (the OS still flushes both dirty
+        # pages). The guarantee does NOT extend to power loss / kernel
+        # panics: memmap writeback order is unspecified, so the filled page
+        # could reach disk before the pixel page. Good enough for a decode
+        # cache — a torn entry costs one stale crop, and wiping the cache
+        # dir rebuilds it; callers needing power-loss durability should
+        # msync the pixel range before the flag.
         self.filled[i] = 1
 
     @property

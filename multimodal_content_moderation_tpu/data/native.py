@@ -32,6 +32,14 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _src_hash() -> str:
+    import hashlib
+
+    src = os.path.join(_NATIVE_DIR, "image_ops.cpp")
+    with open(src, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def _build() -> bool:
     src = os.path.join(_NATIVE_DIR, "image_ops.cpp")
     if not os.path.exists(src):
@@ -45,6 +53,13 @@ def _build() -> bool:
             subprocess.run(
                 base + extra, check=True, capture_output=True, timeout=120
             )
+            # record what was compiled: staleness is keyed on source content,
+            # not mtimes (a fresh clone gives source and .so identical
+            # checkout times, and a foreign prebuilt .so compiled with
+            # -march=native on another CPU would SIGILL — the hash mismatch
+            # forces a local rebuild instead)
+            with open(_SO_PATH + ".srchash", "w") as f:
+                f.write(_src_hash())
             return True
         except Exception as e:  # pragma: no cover
             logger.warning("native image ops build (%s) failed: %s", extra, e)
@@ -58,9 +73,13 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         src = os.path.join(_NATIVE_DIR, "image_ops.cpp")
-        stale = os.path.exists(_SO_PATH) and os.path.exists(src) and (
-            os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
-        )
+        stale = True
+        if os.path.exists(_SO_PATH) and os.path.exists(src):
+            try:
+                with open(_SO_PATH + ".srchash") as f:
+                    stale = f.read().strip() != _src_hash()
+            except OSError:
+                stale = True  # no build record -> untrusted binary; rebuild
         if (not os.path.exists(_SO_PATH) or stale) and not _build():
             return None
         try:

@@ -1,12 +1,12 @@
 """Dataset preparation: Hateful Memes and MMHS150K.
 
-Behavior-compatible with reference src/data/preprocessing.py:16-167,
-including the MMHS150K label-index quirk: raw MMHS150K annotates
-0=NotHate..5=OtherHate, but the reference maps index 0 -> "racist" and drops
-index 5 (``0 <= idx < len(class_names)`` with 5 names,
-preprocessing.py:150-153). The shipped CSVs were produced by that exact
-mapping, so it is reproduced here verbatim — "fixing" it would break parity
-with the published benchmark data.
+Emits byte-identical CSVs to the reference prep step (src/data/
+preprocessing.py:16-167) — the CSV schema and the MMHS150K label-index quirk
+are the contract: raw MMHS150K annotates 0=NotHate..5=OtherHate, but the
+reference maps index 0 -> "racist" and drops index 5 (``0 <= idx <
+len(class_names)`` with 5 names, preprocessing.py:150-153). The shipped CSVs
+were produced by that exact mapping, so it is reproduced here verbatim —
+"fixing" it would break parity with the published benchmark data.
 
 The Hateful Memes download needs the HF hub (network); offline hosts pass an
 existing snapshot dir instead (``--local_dir`` on the prepare-data CLI).
@@ -15,6 +15,7 @@ existing snapshot dir instead (``--local_dir`` on the prepare-data CLI).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 from pathlib import Path
@@ -22,7 +23,12 @@ from typing import Dict, List, Optional
 
 import pandas as pd
 
+logger = logging.getLogger(__name__)
+
 MMHS_CLASS_NAMES = ["racist", "sexist", "homophobe", "religion", "otherhate"]
+
+# raw-split file stem -> output CSV, shared by both datasets' split loops
+SPLIT_CSVS = {"train": "train.csv", "val": "val.csv", "test": "test.csv"}
 
 
 def ensure_dir(p: Path) -> None:
@@ -36,12 +42,14 @@ def write_class_names(out_dir: Path, class_names: List[str]) -> None:
 
 
 def _read_jsonl(path: Path) -> List[Dict]:
-    rows = []
     with open(path, "r", encoding="utf-8") as f:
-        for line in f:
-            if line.strip():
-                rows.append(json.loads(line))
-    return rows
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _emit_split_csv(records: List[Dict], path: Path) -> None:
+    pd.DataFrame(records).to_csv(path, index=False)
+    logger.info("wrote %s (%d rows)", path, len(records))
+    print(f"[prepare] {path.name}: {len(records)} rows")
 
 
 def download_and_prepare_hateful_memes(
@@ -60,7 +68,7 @@ def download_and_prepare_hateful_memes(
                 "or pass a local snapshot dir (--local_dir)"
             ) from e
 
-        print("==> Downloading Hateful Memes (HF mirror) ...")
+        print("[prepare] fetching hateful_memes snapshot from the HF hub")
         local_repo = Path(
             snapshot_download(
                 repo_id="neuralcatcher/hateful_memes", repo_type="dataset"
@@ -78,15 +86,17 @@ def download_and_prepare_hateful_memes(
     if not any(images_out.iterdir()):
         shutil.copytree(src_img_dir, images_out, dirs_exist_ok=True)
 
-    split_map = {
-        "train.jsonl": "train.csv",
-        "dev_seen.jsonl": "val.csv",
-        "test_seen.jsonl": "test.csv",
+    # snapshot jsonl name -> our split CSV (dev_seen/test_seen are the
+    # publicly-labeled splits)
+    jsonl_for_split = {
+        "train": "train.jsonl",
+        "val": "dev_seen.jsonl",
+        "test": "test_seen.jsonl",
     }
-    for jsonl_name, csv_name in split_map.items():
-        jsonl_path = local_repo / jsonl_name
+    for split, csv_name in SPLIT_CSVS.items():
+        jsonl_path = local_repo / jsonl_for_split[split]
         if not jsonl_path.exists():
-            print(f"Warning: {jsonl_name} not found, skipping")
+            print(f"[prepare] no {jsonl_path.name} in snapshot; {split} skipped")
             continue
         records = [
             {
@@ -96,11 +106,22 @@ def download_and_prepare_hateful_memes(
             }
             for row in _read_jsonl(jsonl_path)
         ]
-        pd.DataFrame(records).to_csv(out_dir / csv_name, index=False)
-        print(f"Saved {csv_name} with {len(records)} samples")
+        _emit_split_csv(records, out_dir / csv_name)
 
     write_class_names(out_dir, ["hateful"])
-    print(f"==> Hateful Memes prepared at: {out_dir}")
+    print(f"[prepare] hateful_memes ready under {out_dir}")
+
+
+def _mmhs_active_labels(entry: Dict, class_names: List[str]) -> List[str]:
+    """Annotation indices -> class names, preserving the reference's mapping
+    quirk: index 0 lands on "racist" and index 5 falls outside the 5-name
+    range and is dropped (module docstring; reference preprocessing.py:
+    150-153)."""
+    return [
+        class_names[idx]
+        for idx in entry.get("labels", [])
+        if 0 <= idx < len(class_names)
+    ]
 
 
 def prepare_mmhs150k_from_raw(raw_dir: Path, out_dir: Path) -> None:
@@ -119,35 +140,24 @@ def prepare_mmhs150k_from_raw(raw_dir: Path, out_dir: Path) -> None:
     ensure_dir(out_dir / "images")
 
     splits_dir = raw_dir / "splits"
-    for split_name in ["train", "val", "test"]:
-        split_file = splits_dir / f"{split_name}_ids.txt"
+    for split, csv_name in SPLIT_CSVS.items():
+        split_file = splits_dir / f"{split}_ids.txt"
         if not split_file.exists():
-            print(f"Warning: {split_file} not found, skipping")
+            print(f"[prepare] no {split_file.name}; {split} skipped")
             continue
         with open(split_file, "r") as f:
             ids = [line.strip() for line in f if line.strip()]
 
-        records = []
-        for img_id in ids:
-            if img_id not in gt:
-                continue
-            entry = gt[img_id]
-            # Quirk preserved: idx 0 maps to "racist" and idx 5 is dropped
-            # (see module docstring; reference preprocessing.py:150-153).
-            active = [
-                class_names[idx]
-                for idx in entry.get("labels", [])
-                if 0 <= idx < len(class_names)
-            ]
-            records.append(
-                {
-                    "text": entry.get("tweet_text", ""),
-                    "image_path": f"{img_id}.jpg",
-                    "labels": ",".join(active) if active else "",
-                }
-            )
-        pd.DataFrame(records).to_csv(out_dir / f"{split_name}.csv", index=False)
-        print(f"Saved {split_name}.csv with {len(records)} samples")
+        records = [
+            {
+                "text": gt[img_id].get("tweet_text", ""),
+                "image_path": f"{img_id}.jpg",
+                "labels": ",".join(_mmhs_active_labels(gt[img_id], class_names)),
+            }
+            for img_id in ids
+            if img_id in gt
+        ]
+        _emit_split_csv(records, out_dir / csv_name)
 
     write_class_names(out_dir, class_names)
-    print(f"==> MMHS150K prepared at: {out_dir}")
+    print(f"[prepare] mmhs150k ready under {out_dir}")

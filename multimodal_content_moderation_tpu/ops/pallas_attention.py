@@ -245,8 +245,9 @@ def attention_nhd(
         # a ~5 MB input+output block budget (x2 for double buffering + fp32
         # softmax temporaries must fit in ~16 MB VMEM); e.g. SigLIP
         # T=196/D=768 -> block_b 4
+        # live tiles per grid step: q(Tq) + k(S) + v(S) + out(Tq)
         block_b = _pick_block_b(
-            B, (Tq + 3 * S) * dblk * q.dtype.itemsize, start=_FWD_BLOCK_B
+            B, (2 * Tq + 2 * S) * dblk * q.dtype.itemsize, start=_FWD_BLOCK_B
         )
     else:
         block_b = _snap_to_divisor(B, block_b)

@@ -71,12 +71,20 @@ def _make_request_handler(state: _State):
             if self.path != "/invocations":
                 self._send(404, json.dumps({"error": "not found"}))
                 return
+            # 400 is reserved for malformed input (the router treats 4xx as a
+            # client error); model/device failures return 500 so SageMaker's
+            # health machinery sees a genuine server-side fault and can retry
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length).decode("utf-8")
                 instances = h.input_fn(
                     body, self.headers.get("Content-Type", "application/json")
                 )
+            except Exception as e:  # noqa: BLE001 - per-request error capture
+                logger.exception("invocation rejected: bad input")
+                self._send(400, json.dumps({"error": str(e)}))
+                return
+            try:
                 # serialize device access: predict_fn batches internally, and
                 # one in-flight forward at a time keeps tail latency sane on a
                 # single chip (JAX dispatch itself is thread-safe)
@@ -85,7 +93,7 @@ def _make_request_handler(state: _State):
                 self._send(200, h.output_fn(preds))
             except Exception as e:  # noqa: BLE001 - per-request error capture
                 logger.exception("invocation failed")
-                self._send(400, json.dumps({"error": str(e)}))
+                self._send(500, json.dumps({"error": str(e)}))
 
     return Handler
 

@@ -89,6 +89,49 @@ class TrainArgs:
     # (4x fewer host->HBM bytes; requires a uint8_hwc train preprocessor and
     # a model with image_mean/image_std set — models/u8wire.py).
     wire: str = "f32"
+    # "" keeps fp32 Adam m/v (parity); "bfloat16" halves optimizer HBM
+    # traffic (training/optim.scale_by_adam_compact) — validate with the
+    # quality-parity harness before production use.
+    accumulator_dtype: str = ""
+
+
+def enforce_gspmd_safe_kernels(model, mesh):
+    """Swap Mosaic (Pallas) kernels for their XLA impls when the model will
+    run under a multi-device GSPMD ``jit``.
+
+    Mosaic kernels carry no GSPMD partitioning rule — ``pallas_call`` rejects
+    sharded operands outright ("requires all mesh axes to be Manual"), and
+    under auto sharding the partitioner would have to all-gather the operands,
+    silently replicating what the mesh was supposed to shard. The supported
+    multi-device composition is ``jax.shard_map`` with per-device kernel
+    calls, which the fast inference engine uses (models/fast_infer.py); the
+    GSPMD train/eval steps instead fall back to the XLA attention/embed
+    impls, which the partitioner handles natively. Single-device meshes (the
+    benched configuration) keep the Pallas kernels.
+
+    Returns the (possibly replaced) model; logs when a fallback engages.
+    """
+    if mesh is None or mesh.devices.size == 1:
+        return model
+    from multimodal_content_moderation_tpu.models import model_io
+
+    cfg = model.clip_config if model.backend == "clip" else model.siglip_config
+    if "pallas" in (cfg.text.attention_impl, cfg.vision.attention_impl):
+        logger.warning(
+            "attention_impl='pallas' is not GSPMD-partitionable; falling "
+            "back to the XLA attention for the %d-device mesh (shard_map "
+            "keeps Pallas on the fast inference engine)",
+            mesh.devices.size,
+        )
+        model = model_io.with_performance_options(model, attention_impl="xla")
+    if getattr(model, "embed_impl", "reference") == "pallas":
+        logger.warning(
+            "embed_impl='pallas' is not GSPMD-partitionable; falling back "
+            "to the reference patch embed for the %d-device mesh",
+            mesh.devices.size,
+        )
+        model = dataclasses.replace(model, embed_impl="reference")
+    return model
 
 
 def make_train_step(model, tx, pos_weight: Optional[np.ndarray] = None) -> Callable:
@@ -172,12 +215,12 @@ class Trainer:
         mesh=None,
         pos_weight: Optional[np.ndarray] = None,
     ):
-        self.model = model
         self.args = args
         self.train_ds = train_dataset
         self.eval_ds = eval_dataset
         self.compute_metrics = compute_metrics
         self.mesh = mesh if mesh is not None else build_mesh()
+        self.model = enforce_gspmd_safe_kernels(model, self.mesh)
         self.pos_weight = pos_weight
 
         n_batches = max(len(train_dataset) // args.per_device_train_batch_size, 1)
@@ -201,6 +244,7 @@ class Trainer:
             schedule=args.lr_scheduler_type,
             freeze_text=args.freeze_text,
             freeze_image=args.freeze_image,
+            accumulator_dtype=args.accumulator_dtype or None,
         )
         if accum > 1:
             self.tx = optax.MultiSteps(self.tx, every_k_schedule=accum)

@@ -36,6 +36,7 @@ setup(
             "mmharm-prepare-data=multimodal_content_moderation_tpu.cli.prepare_data:main",
             "mmharm-deploy=multimodal_content_moderation_tpu.serving.deploy:main",
             "mmharm-serve=multimodal_content_moderation_tpu.serving.server:main",
+            "mmharm-export=multimodal_content_moderation_tpu.cli.export:main",
         ]
     },
 )

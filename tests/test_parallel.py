@@ -304,3 +304,141 @@ def test_head_params_replicate_under_tp(model_and_params):
     mtl_placed = shard_params(mtl.init(jax.random.key(1)), mesh)
     for path, leaf in jax.tree_util.tree_leaves_with_path(mtl_placed["head"]):
         assert leaf.sharding.spec == P(), jax.tree_util.keystr(path)
+
+
+# ---------------------------------------------------------------------------
+# Pallas x mesh composition policy (VERDICT r2 #2): Mosaic kernels have no
+# GSPMD partitioning rule, so multi-device GSPMD steps must fall back to the
+# XLA impls; shard_map keeps Pallas on the fast engine (test_fast_infer).
+# ---------------------------------------------------------------------------
+
+
+def _pallas_model():
+    import dataclasses
+
+    from multimodal_content_moderation_tpu.models import model_io
+
+    model = model_io.with_performance_options(tiny_model(), attention_impl="pallas")
+    return dataclasses.replace(model, embed_impl="pallas")
+
+
+def test_pallas_kernels_fall_back_under_multidevice_mesh():
+    from multimodal_content_moderation_tpu.training.loop import (
+        enforce_gspmd_safe_kernels,
+    )
+
+    model = _pallas_model()
+    out = enforce_gspmd_safe_kernels(model, build_mesh(4, 2))
+    assert out.clip_config.text.attention_impl == "xla"
+    assert out.clip_config.vision.attention_impl == "xla"
+    assert out.embed_impl == "reference"
+
+    # single-device mesh keeps the production kernels
+    kept = enforce_gspmd_safe_kernels(model, build_mesh(1, 1, devices=jax.devices()[:1]))
+    assert kept.clip_config.text.attention_impl == "pallas"
+    assert kept.embed_impl == "pallas"
+
+
+def test_trainer_enforces_kernel_fallback(tmp_path):
+    """Constructing a Trainer with Pallas impls on the 8-device mesh must
+    swap in the GSPMD-safe kernels (and the sharded step must run)."""
+    from multimodal_content_moderation_tpu.training.loop import TrainArgs, Trainer
+
+    model = _pallas_model()
+    params = model.init(jax.random.key(0))
+
+    class FakeDS:
+        labels = np.zeros((16, 3), np.float32)
+
+        def __len__(self):
+            return 16
+
+    trainer = Trainer(
+        model,
+        params,
+        TrainArgs(output_dir=str(tmp_path), num_train_epochs=1),
+        FakeDS(),
+        FakeDS(),
+        compute_metrics=lambda x: {},
+        mesh=build_mesh(),
+    )
+    assert trainer.model.clip_config.text.attention_impl == "xla"
+    assert trainer.model.embed_impl == "reference"
+    batch = shard_batch(make_batch(), trainer.mesh)
+    p, o, r, loss = trainer.train_step(
+        trainer.params, trainer.opt_state, trainer.rng, batch
+    )
+    assert np.isfinite(float(loss))
+
+
+# ---------------------------------------------------------------------------
+# Full-scale equivalence (VERDICT r2 #7): the toy tests validate collective
+# semantics; this runs the flagship ViT-B/32 shapes (text d=512/8 heads,
+# vision d=768/12 heads, 12+12 layers) through the real shard-divisibility
+# paths: 8x1 DP and 4x2 TP must match the 1-device step.
+# ---------------------------------------------------------------------------
+
+
+def _fullscale_batch(seed=0, B=8):
+    from multimodal_content_moderation_tpu.models import FusionModel
+
+    model = FusionModel.create("clip", num_labels=5)
+    vocab = model.clip_config.text.vocab_size
+    eos = model.clip_config.text.eos_token_id
+    g = np.random.default_rng(seed)
+    ids = g.integers(1, vocab - 2, (B, 77)).astype(np.int32)
+    ids[:, -1] = eos
+    return model, {
+        "input_ids": ids,
+        "attention_mask": np.ones((B, 77), np.int32),
+        "pixel_values": g.normal(size=(B, 3, 224, 224)).astype(np.float32),
+        "text_present": np.ones((B,), np.float32),
+        "image_present": np.ones((B,), np.float32),
+        "labels": (g.random((B, 5)) < 0.3).astype(np.float32),
+    }
+
+
+@pytest.mark.slow
+def test_fullscale_dp_and_tp_equivalence():
+    model, batch = _fullscale_batch()
+    host_params = jax.device_get(model.init(jax.random.key(0)))
+    tx = build_optimizer(host_params, lr_encoder=1e-4, lr_head=1e-3, total_steps=1)
+
+    def one_step(mesh):
+        params = shard_params(
+            jax.tree_util.tree_map(jnp.asarray, host_params), mesh
+        )
+        opt_state = tx.init(params)
+        step_fn = make_train_step(model, tx)
+        params, _, _, loss = step_fn(
+            params, opt_state, jax.random.key(0), shard_batch(batch, mesh)
+        )
+        return float(loss), jax.device_get(params)
+
+    loss1, p1 = one_step(build_mesh(1, 1, devices=jax.devices()[:1]))
+    loss8, p8 = one_step(build_mesh())  # 8 x 1 DP
+    loss_tp, p_tp = one_step(build_mesh(4, 2))  # 4 data x 2 model
+
+    assert np.isfinite(loss1)
+    np.testing.assert_allclose(loss8, loss1, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(loss_tp, loss1, atol=2e-5, rtol=2e-5)
+    # updated params at the real head-count/divisibility shard paths
+    _assert_trees_close(p8, p1, atol=5e-5, rtol=5e-4)
+    _assert_trees_close(p_tp, p1, atol=5e-5, rtol=5e-4)
+
+
+@pytest.mark.slow
+def test_fullscale_tp_shards_all_block_matrices():
+    """At flagship shapes every block matmul is divisible by model=2: the
+    rules must shard ALL of them (no silent replication fallback)."""
+    model, _ = _fullscale_batch()
+    mesh = build_mesh(4, 2)
+    params = model.init(jax.random.key(0))
+    sh = param_shardings(params, mesh)
+    for tower in ("text_model", "vision_model"):
+        for i, blk in enumerate(sh["backbone"][tower]["layers"]):
+            msg = f"{tower}/layers/{i}"
+            assert blk["attn"]["q"]["w"].spec == P(None, "model"), msg
+            assert blk["attn"]["o"]["w"].spec == P("model", None), msg
+            assert blk["fc1"]["w"].spec == P(None, "model"), msg
+            assert blk["fc2"]["w"].spec == P("model", None), msg

@@ -68,7 +68,7 @@ def build(wire: str, scores_dtype: str, attention: str = "xla", backend: str = "
     return model
 
 
-def run_once(model, wire: str, B: int, steps: int) -> float:
+def run_once(model, wire: str, B: int, steps: int, accumulator_dtype=None) -> float:
     """Returns samples/s for one (wire, batch) config."""
     import jax
 
@@ -83,7 +83,9 @@ def run_once(model, wire: str, B: int, steps: int) -> float:
 
     mesh = build_mesh()
     params = replicate(model.init(jax.random.key(0)), mesh)
-    tx = build_optimizer(params, total_steps=1000)
+    tx = build_optimizer(
+        params, total_steps=1000, accumulator_dtype=accumulator_dtype
+    )
     opt_state = tx.init(params)
     rng = jax.random.key(0)
     train_step = make_train_step(model, tx)
@@ -142,6 +144,11 @@ def main():
         help="comma-separated batch sizes to sweep (e.g. 64,128,192,256)",
     )
     ap.add_argument(
+        "--accumulator_dtype", choices=["", "bfloat16"], default="",
+        help="bf16 Adam m/v state (training/optim.scale_by_adam_compact): "
+        "halves optimizer HBM traffic; '' keeps fp32",
+    )
+    ap.add_argument(
         "--attention", choices=["xla", "pallas"], default="xla",
         help="attention core (pallas = [B,T,D]-layout kernel with custom "
         "VJP in fwd AND bwd — training.attention: pallas in configs)",
@@ -154,7 +161,9 @@ def main():
     )
     results = []
     for B in sizes:
-        sps, spstep = run_once(model, args.wire, B, args.steps)
+        sps, spstep = run_once(
+            model, args.wire, B, args.steps, args.accumulator_dtype or None
+        )
         results.append({"batch": B, "samples_per_s": round(sps, 1),
                         "ms_per_step": round(spstep * 1000, 1)})
     best = max(results, key=lambda r: r["samples_per_s"])
@@ -169,6 +178,7 @@ def main():
                 "wire": args.wire,
                 "scores_dtype": args.scores_dtype,
                 "attention": args.attention,
+                "accumulator_dtype": args.accumulator_dtype or "float32",
                 "backend": args.backend,
                 "sweep": results if len(results) > 1 else None,
             }
