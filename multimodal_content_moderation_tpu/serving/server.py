@@ -28,6 +28,7 @@ import argparse
 import json
 import logging
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -39,6 +40,67 @@ logger = logging.getLogger(__name__)
 class _State:
     classifier = None
     lock = threading.Lock()
+    batcher = None  # optional cross-request MicroBatcher
+
+
+class MicroBatcher:
+    """Cross-request micro-batching for concurrent /invocations.
+
+    The reference endpoint runs one B=1 torch forward per instance
+    (sagemaker/inference.py:204-298). Here predict_fn already batches the
+    instances WITHIN a request; this layer additionally coalesces instances
+    from concurrently-waiting requests into one device batch: a request
+    enqueues its instances and blocks; whichever thread finds the batcher
+    idle becomes the leader, waits ``window_ms`` for stragglers, drains up
+    to ``max_batch`` instances, runs them through ``predict``, then routes
+    each requester its slice. Under low concurrency the window is the only
+    added latency (a few ms); under high concurrency device batches grow and
+    per-sample cost drops toward the offline rate.
+
+    Enable with MMHARM_MICROBATCH_MS>0 (mmharm-serve env knob).
+    """
+
+    def __init__(self, predict, window_ms: float = 4.0, max_batch: int = 256):
+        self._predict = predict
+        self._window_s = window_ms / 1000.0
+        self._max_batch = max_batch
+        self._cv = threading.Condition()
+        self._pending: list = []  # (instances, slot) tuples
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._pending:
+                    self._cv.wait()
+            # a request just arrived; hold the window open for stragglers
+            time.sleep(self._window_s)
+            with self._cv:
+                batch = self._pending[: self._max_batch]
+                del self._pending[: len(batch)]
+            flat = [i for insts, _ in batch for i in insts]
+            try:
+                preds = self._predict(flat)
+                k = 0
+                for insts, s in batch:
+                    s["out"] = preds[k : k + len(insts)]
+                    k += len(insts)
+            except Exception as e:  # noqa: BLE001 - fan the error out
+                for _, s in batch:
+                    s["err"] = e
+            for _, s in batch:
+                s["done"].set()
+
+    def __call__(self, instances):
+        slot = {"done": threading.Event(), "out": None, "err": None}
+        with self._cv:
+            self._pending.append((instances, slot))
+            self._cv.notify()
+        slot["done"].wait()
+        if slot["err"] is not None:
+            raise slot["err"]
+        return slot["out"]
 
 
 def _make_request_handler(state: _State):
@@ -85,11 +147,16 @@ def _make_request_handler(state: _State):
                 self._send(400, json.dumps({"error": str(e)}))
                 return
             try:
-                # serialize device access: predict_fn batches internally, and
-                # one in-flight forward at a time keeps tail latency sane on a
-                # single chip (JAX dispatch itself is thread-safe)
-                with state.lock:
-                    preds = h.predict_fn(instances, state.classifier)
+                if state.batcher is not None:
+                    # cross-request micro-batching: concurrent requests'
+                    # instances coalesce into one device batch
+                    preds = state.batcher(instances)
+                else:
+                    # serialize device access: predict_fn batches internally,
+                    # and one in-flight forward at a time keeps tail latency
+                    # sane on a single chip (JAX dispatch is thread-safe)
+                    with state.lock:
+                        preds = h.predict_fn(instances, state.classifier)
                 self._send(200, h.output_fn(preds))
             except Exception as e:  # noqa: BLE001 - per-request error capture
                 logger.exception("invocation failed")
@@ -108,8 +175,18 @@ def serve(
 
     Callers run ``server.serve_forever()``; tests drive it from a thread and
     ``shutdown()`` it."""
+    import os
+
     state = _State()
     state.classifier = h.model_fn(model_dir, encoder_dir)
+    window_ms = float(os.environ.get("MMHARM_MICROBATCH_MS", "0") or 0)
+    if window_ms > 0:
+        state.batcher = MicroBatcher(
+            lambda insts: h.predict_fn(insts, state.classifier),
+            window_ms=window_ms,
+            max_batch=int(os.environ.get("MMHARM_MICROBATCH_MAX", "256")),
+        )
+        logger.info("cross-request micro-batching on (window %.1f ms)", window_ms)
     server = ThreadingHTTPServer((host, port), _make_request_handler(state))
     logger.info("model loaded; listening on %s:%d", host, port)
     return server

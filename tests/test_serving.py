@@ -302,3 +302,61 @@ def test_handler_predict_fn_fast_engine(trained_run, data_dir, monkeypatch):
             assert abs(a["probabilities"][name] - b["probabilities"][name]) < 1e-3
     out = json.loads(output_fn(preds_fast))
     assert "predictions" in out and len(out["predictions"]) == 2
+
+
+class TestMicroBatcher:
+    def test_concurrent_requests_coalesce_and_route(self):
+        import threading
+
+        from multimodal_content_moderation_tpu.serving.server import MicroBatcher
+
+        calls = []
+
+        def predict(instances):
+            calls.append(len(instances))
+            return [{"echo": inst["x"]} for inst in instances]
+
+        mb = MicroBatcher(predict, window_ms=60.0, max_batch=64)
+        results = {}
+
+        def client(cid):
+            out = mb([{"x": f"{cid}-0"}, {"x": f"{cid}-1"}])
+            results[cid] = out
+
+        threads = [threading.Thread(target=client, args=(c,)) for c in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=10)
+        assert len(results) == 4
+        for cid, out in results.items():
+            assert [o["echo"] for o in out] == [f"{cid}-0", f"{cid}-1"]
+        # the 60 ms window coalesced concurrent requests into fewer device
+        # calls than requests (usually exactly 1)
+        assert len(calls) < 4
+        assert max(calls) > 2
+
+    def test_error_fans_out_to_all_waiters(self):
+        import threading
+
+        from multimodal_content_moderation_tpu.serving.server import MicroBatcher
+
+        def predict(instances):
+            raise RuntimeError("device fell over")
+
+        mb = MicroBatcher(predict, window_ms=30.0)
+        errs = []
+
+        def client():
+            try:
+                mb([{"x": 1}])
+            except RuntimeError as e:
+                errs.append(str(e))
+
+        threads = [threading.Thread(target=client) for _ in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=10)
+        assert errs == ["device fell over"] * 3
+

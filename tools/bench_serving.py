@@ -160,12 +160,16 @@ def main(argv=None):
     ap.add_argument("--precision", default="bf16_fast")
     ap.add_argument("--attention", default="pallas")
     ap.add_argument("--image_backend", default="native_scaled")
+    ap.add_argument("--microbatch_ms", type=float, default=0.0,
+                    help=">0 enables cross-request micro-batching "
+                    "(serving/server.MicroBatcher) with this window")
     args = ap.parse_args(argv)
 
     os.environ["MMHARM_ENGINE"] = args.engine
     os.environ["MMHARM_PRECISION"] = args.precision
     os.environ["MMHARM_ATTENTION"] = args.attention
     os.environ["MMHARM_IMAGE_BACKEND"] = args.image_backend
+    os.environ["MMHARM_MICROBATCH_MS"] = str(args.microbatch_ms)
 
     from multimodal_content_moderation_tpu.serving import server as srv
 
@@ -250,6 +254,7 @@ def main(argv=None):
                 "engine": args.engine,
                 "precision": args.precision,
                 "attention": args.attention,
+                "microbatch_ms": args.microbatch_ms,
                 # reference comparison: its endpoint loops B=1 torch forwards
                 # per instance (sagemaker/inference.py:204-298); its offline
                 # GPU eval rate was 381.5/s — an endpoint can't exceed that
