@@ -130,6 +130,80 @@ def run_once(model, wire: str, B: int, steps: int, accumulator_dtype=None) -> fl
     return steps * B / best_dt, best_dt / steps
 
 
+def decompose(model, wire: str, B: int, steps: int):
+    """Forward / forward+backward / full-step timing split (the train-step
+    decomposition in docs/PERFORMANCE.md). Runs each stage as its own jit
+    with the same batch shapes and scalar-fetch barriers."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_content_moderation_tpu.ops.pallas_image import extract_patches_u8
+    from multimodal_content_moderation_tpu.parallel.mesh import build_mesh, replicate, shard_batch
+    from multimodal_content_moderation_tpu.training.optim import build_optimizer
+
+    mesh = build_mesh()
+    params = replicate(model.init(jax.random.key(0)), mesh)
+    img = model.image_size
+    cfg = model.clip_config if model.backend == "clip" else model.siglip_config
+    patch = cfg.vision.patch_size
+    seq = min(cfg.text.max_positions, 77)
+    vocab = cfg.text.vocab_size
+    eos = getattr(cfg.text, "eos_token_id", vocab - 1)
+
+    def batch(seed):
+        gg = np.random.default_rng(seed)
+        ids = gg.integers(1, vocab - 2, size=(B, seq)).astype(np.int32)
+        ids[:, seq // 2] = eos
+        b = {
+            "input_ids": ids,
+            "attention_mask": np.ones((B, seq), np.int32),
+            "text_present": np.ones((B,), np.float32),
+            "image_present": np.ones((B,), np.float32),
+            "labels": (gg.random((B, 5)) < 0.3).astype(np.float32),
+        }
+        if wire == "u8":
+            crops = gg.integers(0, 256, size=(B, img, img, 3), dtype=np.uint8)
+            b["patches_u8"] = extract_patches_u8(crops, patch)
+        else:
+            b["pixel_values"] = gg.normal(size=(B, 3, img, img)).astype(np.float32)
+        return shard_batch(b, mesh)
+
+    batches = [batch(i) for i in range(4)]
+
+    def loss_fn(p, b):
+        return model.apply(p, b)["loss"]
+
+    fwd = jax.jit(loss_fn)
+    grad = jax.jit(jax.value_and_grad(loss_fn))
+
+    def time_stage(fn, consume):
+        _ = consume(fn(params, batches[0]))  # compile
+        best = float("inf")
+        for _pass in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for k in range(steps):
+                out = fn(params, batches[k % len(batches)])
+            _ = consume(out)
+            best = min(best, time.perf_counter() - t0)
+        return best / steps
+
+    fwd_s = time_stage(fwd, lambda l: float(l))
+    bwd_s = time_stage(grad, lambda lg: float(lg[0]))
+    sps, full_s = run_once(model, wire, B, steps)
+    return {
+        "batch": B,
+        "fwd_ms": round(fwd_s * 1000, 1),
+        "fwd_bwd_ms": round(bwd_s * 1000, 1),
+        "full_step_ms": round(full_s * 1000, 1),
+        "bwd_over_fwd": round((bwd_s - fwd_s) / fwd_s, 2),
+        "optimizer_ms": round((full_s - bwd_s) * 1000, 1),
+        "samples_per_s": round(sps, 1),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", choices=["clip", "siglip"], default="clip")
@@ -144,6 +218,10 @@ def main():
         help="comma-separated batch sizes to sweep (e.g. 64,128,192,256)",
     )
     ap.add_argument(
+        "--decompose", action="store_true",
+        help="time fwd / fwd+bwd / full step separately (one batch size)",
+    )
+    ap.add_argument(
         "--accumulator_dtype", choices=["", "bfloat16"], default="",
         help="bf16 Adam m/v state (training/optim.scale_by_adam_compact): "
         "halves optimizer HBM traffic; '' keeps fp32",
@@ -156,6 +234,13 @@ def main():
     args = ap.parse_args()
 
     model = build(args.wire, args.scores_dtype, args.attention, args.backend)
+    if args.decompose:
+        out = decompose(model, args.wire, args.batch, args.steps)
+        out.update({"metric": "train_step_decomposition", "wire": args.wire,
+                    "backend": args.backend, "attention": args.attention,
+                    "scores_dtype": args.scores_dtype})
+        print(json.dumps(out))
+        return
     sizes = (
         [int(s) for s in args.sweep.split(",") if s] if args.sweep else [args.batch]
     )
