@@ -647,3 +647,70 @@ def test_bf16_accumulators_state_dtype_and_closeness():
             np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-2,
             err_msg=jax.tree_util.keystr(ka),
         )
+
+
+def test_trainer_with_bf16_accumulators_steps(tmp_path):
+    """TrainArgs.accumulator_dtype wires through to the optimizer: the
+    train step runs and the carried m/v state is bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_content_moderation_tpu.models import CLIPConfig, FusionModel
+    from multimodal_content_moderation_tpu.models.clip import (
+        CLIPTextConfig,
+        CLIPVisionConfig,
+    )
+    from multimodal_content_moderation_tpu.parallel.mesh import build_mesh, shard_batch
+    from multimodal_content_moderation_tpu.training.loop import TrainArgs, Trainer
+
+    cfg = CLIPConfig(
+        text=CLIPTextConfig(
+            vocab_size=64, hidden_size=32, num_layers=1, num_heads=2,
+            intermediate_size=64, max_positions=8, eos_token_id=63,
+        ),
+        vision=CLIPVisionConfig(
+            hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
+            image_size=16, patch_size=8,
+        ),
+        projection_dim=32,
+    )
+    model = FusionModel.create("clip", num_labels=3, fusion_dim=16, clip_config=cfg)
+    params = model.init(jax.random.key(0))
+
+    class FakeDS:
+        labels = np.zeros((8, 3), np.float32)
+
+        def __len__(self):
+            return 8
+
+    trainer = Trainer(
+        model, params,
+        TrainArgs(output_dir=str(tmp_path), accumulator_dtype="bfloat16"),
+        FakeDS(), FakeDS(), compute_metrics=lambda x: {},
+        mesh=build_mesh(1, 1, devices=jax.devices()[:1]),
+    )
+    moment_dtypes = {
+        np.dtype(l.dtype)
+        for l in jax.tree_util.tree_leaves(trainer.opt_state)
+        if hasattr(l, "dtype") and getattr(l, "ndim", 0) > 0
+    }
+    assert np.dtype(jnp.bfloat16) in moment_dtypes
+
+    g = np.random.default_rng(0)
+    ids = g.integers(1, 62, (8, 8)).astype(np.int32)
+    ids[:, -1] = 63
+    batch = shard_batch(
+        {
+            "input_ids": ids,
+            "attention_mask": np.ones((8, 8), np.int32),
+            "pixel_values": g.normal(size=(8, 3, 16, 16)).astype(np.float32),
+            "text_present": np.ones((8,), np.float32),
+            "image_present": np.ones((8,), np.float32),
+            "labels": (g.random((8, 3)) < 0.4).astype(np.float32),
+        },
+        trainer.mesh,
+    )
+    p, o, r, loss = trainer.train_step(
+        trainer.params, trainer.opt_state, trainer.rng, batch
+    )
+    assert np.isfinite(float(loss))
