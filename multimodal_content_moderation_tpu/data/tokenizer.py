@@ -213,7 +213,19 @@ def load_tokenizer(path: str, pad_token_id: Optional[int] = None):
     if os.path.exists(vocab) and os.path.exists(merges):
         return ClipBPETokenizer(vocab, merges)
     if os.path.exists(tok_json):
-        return RustTokenizer(tok_json, pad_token_id)
+        # from-scratch tokenizer.json engine first (Unigram/BPE/WordLevel/
+        # WordPiece — covers SigLIP, Gemma-style and fixture vocabularies,
+        # token-for-token parity pinned in tests/test_tokenizer_json.py);
+        # the Rust wheel only for components outside that subset
+        from multimodal_content_moderation_tpu.data.tokenizer_json import (
+            JSONTokenizer,
+            UnsupportedTokenizerJSON,
+        )
+
+        try:
+            return JSONTokenizer(tok_json, pad_token_id)
+        except UnsupportedTokenizerJSON:
+            return RustTokenizer(tok_json, pad_token_id)
     raise FileNotFoundError(
         f"No tokenizer assets found in {path!r}: expected vocab.json+merges.txt "
         "(CLIP) or tokenizer.json (SigLIP/other). This framework runs fully "
