@@ -68,6 +68,90 @@ def test_cli_exit_code(encoder_dir, data_dir, tmp_path, capsys):
     assert out.exists()
 
 
+@pytest.fixture(scope="module")
+def siglip_encoder_dir(tmp_path_factory):
+    """Tiny SigLIP checkpoint dir (config + safetensors + tokenizer.json)."""
+    import json
+
+    import transformers
+    from safetensors.torch import save_file
+
+    d = tmp_path_factory.mktemp("siglip_qp_enc")
+    words = ["<unk>", "<pad>", "hate", "love", "people", "you", "stop", "go",
+             "bad", "good"]
+    vocab = {w: i for i, w in enumerate(words)}
+    with open(d / "tokenizer.json", "w") as f:
+        json.dump(
+            {
+                "version": "1.0",
+                "normalizer": {"type": "Lowercase"},
+                "pre_tokenizer": {"type": "Whitespace"},
+                "model": {
+                    "type": "WordLevel", "vocab": vocab, "unk_token": "<unk>",
+                },
+                "added_tokens": [],
+                "post_processor": None,
+                "decoder": None,
+            },
+            f,
+        )
+    with open(d / "tokenizer_config.json", "w") as f:
+        json.dump({"pad_token": "<pad>"}, f)
+    hf_cfg = transformers.SiglipConfig(
+        text_config=dict(
+            hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+            intermediate_size=64, max_position_embeddings=16,
+            vocab_size=len(vocab),
+        ),
+        vision_config=dict(
+            hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+            intermediate_size=64, image_size=32, patch_size=16,
+        ),
+    )
+    torch.manual_seed(0)
+    model = transformers.SiglipModel(hf_cfg).eval()
+    save_file(model.state_dict(), str(d / "model.safetensors"))
+    with open(d / "config.json", "w") as f:
+        json.dump(hf_cfg.to_dict(), f)
+    with open(d / "preprocessor_config.json", "w") as f:
+        json.dump(
+            {
+                "size": {"height": 32, "width": 32},
+                "image_mean": [0.5, 0.5, 0.5],
+                "image_std": [0.5, 0.5, 0.5],
+            },
+            f,
+        )
+    return str(d)
+
+
+@pytest.mark.slow
+def test_locked_mode_quality_parity_siglip(siglip_encoder_dir, data_dir):
+    """Locked-mode parity for the second encoder family: the SigLIP fusion
+    trajectory (torch SiglipModel pooler features vs our converted towers)
+    must agree step-for-step, same as CLIP."""
+    import quality_parity
+
+    report = quality_parity.run(
+        encoder_dir=siglip_encoder_dir,
+        train_csv=f"{data_dir}/train.csv",
+        val_csv=f"{data_dir}/val.csv",
+        image_root=f"{data_dir}/images",
+        class_names=["racist", "sexist", "homophobe", "religion", "otherhate"],
+        mode="locked",
+        epochs=1,
+        batch_size=8,
+        fusion_dim=16,
+        max_text_length=16,
+        lr=1e-3,
+        backend="siglip",
+    )
+    assert report["max_step_loss_delta"] < 1e-4
+    assert report["max_val_logit_delta"] < 1e-3
+    assert report["delta"]["f1_macro"] <= 0.005
+    assert report["delta"]["roc_macro"] <= 0.005
+
+
 @pytest.mark.slow
 def test_locked_mode_quality_parity_mtl(encoder_dir, data_dir):
     """Locked-mode parity for the MTL head (the reference's best-published

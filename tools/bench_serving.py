@@ -115,7 +115,9 @@ def build_run_dir(tmp: str, tiny: bool = False):
         },
         os.path.join(run, "inference_config.json"),
     )
-    return run, enc
+    # the serving contract takes the checkpoint dir (inference_config.json in
+    # its parent — scripts/evaluate.py:95-105 search order), not the run dir
+    return ckpt, enc
 
 
 def make_payloads(n_images: int = 16):

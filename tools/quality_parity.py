@@ -37,8 +37,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_torch_fusion(encoder_dir: str, num_labels: int, fusion_dim: int, seed: int):
-    """Reference-shaped torch fusion classifier over a local HF CLIP dir."""
+def build_torch_fusion(
+    encoder_dir: str, num_labels: int, fusion_dim: int, seed: int,
+    backend: str = "clip",
+):
+    """Reference-shaped torch fusion classifier over a local HF encoder dir.
+
+    ``backend="clip"`` mirrors the reference's CLIP path
+    (``CLIPModel.get_text/image_features``); ``backend="siglip"`` mirrors its
+    "auto" path (AutoModel submodule pooler outputs: text pooler head,
+    vision MAP head — reference src/models/fusion.py:100-111)."""
     import torch
     import torch.nn as nn
     import transformers
@@ -46,9 +54,13 @@ def build_torch_fusion(encoder_dir: str, num_labels: int, fusion_dim: int, seed:
     class TorchFusion(nn.Module):
         def __init__(self):
             super().__init__()
-            cfg = transformers.CLIPConfig.from_pretrained(encoder_dir)
-            self.backbone = transformers.CLIPModel.from_pretrained(encoder_dir)
-            d = cfg.projection_dim
+            if backend == "clip":
+                cfg = transformers.CLIPConfig.from_pretrained(encoder_dir)
+                self.backbone = transformers.CLIPModel.from_pretrained(encoder_dir)
+                d = cfg.projection_dim
+            else:
+                self.backbone = transformers.SiglipModel.from_pretrained(encoder_dir)
+                d = self.backbone.config.text_config.hidden_size
             self.proj_t = nn.Linear(d, fusion_dim)
             self.proj_i = nn.Linear(d, fusion_dim)
             self.g_t = nn.Linear(fusion_dim, fusion_dim)
@@ -67,8 +79,14 @@ def build_torch_fusion(encoder_dir: str, num_labels: int, fusion_dim: int, seed:
             import torch
             import torch.nn.functional as F
 
-            t = self.backbone.get_text_features(input_ids=ids, attention_mask=mask)
-            v = self.backbone.get_image_features(pixel_values=px)
+            if backend == "clip":
+                t = self.backbone.get_text_features(input_ids=ids, attention_mask=mask)
+                v = self.backbone.get_image_features(pixel_values=px)
+            else:
+                t = self.backbone.text_model(
+                    input_ids=ids, attention_mask=mask
+                ).pooler_output
+                v = self.backbone.vision_model(pixel_values=px).pooler_output
             t = F.normalize(t, dim=-1) * tpres.unsqueeze(1)
             v = F.normalize(v, dim=-1) * ipres.unsqueeze(1)
             tp, vp = self.proj_t(t), self.proj_i(v)
@@ -89,10 +107,13 @@ def build_torch_fusion(encoder_dir: str, num_labels: int, fusion_dim: int, seed:
 
 
 def build_torch_mtl(
-    encoder_dir: str, num_tasks: int, fusion_dim: int, head_hidden_dim: int, seed: int
+    encoder_dir: str, num_tasks: int, fusion_dim: int, head_hidden_dim: int,
+    seed: int, backend: str = "clip",
 ):
-    """Reference-shaped torch MTL classifier (tower_txt/tower_img pooler
-    outputs + shared trunk + per-task heads, src/models/multitask.py)."""
+    """Reference-shaped torch MTL classifier (pooler outputs + shared trunk +
+    per-task heads, src/models/multitask.py). ``backend="clip"`` uses the
+    separate tower_txt/tower_img layout; ``backend="siglip"`` the shared
+    AutoModel backbone layout (multitask.py:130-154)."""
     import torch
     import torch.nn as nn
     import transformers
@@ -100,11 +121,20 @@ def build_torch_mtl(
     class TorchMTL(nn.Module):
         def __init__(self):
             super().__init__()
-            cfg = transformers.CLIPConfig.from_pretrained(encoder_dir)
-            self.tower_txt = transformers.CLIPTextModel.from_pretrained(encoder_dir)
-            self.tower_img = transformers.CLIPVisionModel.from_pretrained(encoder_dir)
-            tdim = cfg.text_config.hidden_size
-            idim = cfg.vision_config.hidden_size
+            if backend == "clip":
+                cfg = transformers.CLIPConfig.from_pretrained(encoder_dir)
+                self.tower_txt = transformers.CLIPTextModel.from_pretrained(
+                    encoder_dir
+                )
+                self.tower_img = transformers.CLIPVisionModel.from_pretrained(
+                    encoder_dir
+                )
+                tdim = cfg.text_config.hidden_size
+                idim = cfg.vision_config.hidden_size
+            else:
+                self.backbone = transformers.SiglipModel.from_pretrained(encoder_dir)
+                tdim = self.backbone.config.text_config.hidden_size
+                idim = self.backbone.config.vision_config.hidden_size
             self.proj_t = nn.Linear(tdim, fusion_dim)
             self.proj_i = nn.Linear(idim, fusion_dim)
             self.g_t = nn.Linear(fusion_dim, fusion_dim)
@@ -128,8 +158,16 @@ def build_torch_mtl(
         def forward(self, ids, mask, px, tpres, ipres):
             import torch
 
-            tfeat = self.tower_txt(input_ids=ids, attention_mask=mask).pooler_output
-            vfeat = self.tower_img(pixel_values=px).pooler_output
+            if backend == "clip":
+                tfeat = self.tower_txt(
+                    input_ids=ids, attention_mask=mask
+                ).pooler_output
+                vfeat = self.tower_img(pixel_values=px).pooler_output
+            else:
+                tfeat = self.backbone.text_model(
+                    input_ids=ids, attention_mask=mask
+                ).pooler_output
+                vfeat = self.backbone.vision_model(pixel_values=px).pooler_output
             tp, vp = self.proj_t(tfeat), self.proj_i(vfeat)
             presence = torch.stack([tpres, ipres], dim=1)
             zt, zi = torch.tanh(self.g_t(tp)), torch.tanh(self.g_i(vp))
@@ -258,12 +296,17 @@ def run(
     seed: int = 0,
     head: str = "fusion",
     head_hidden_dim: int = 0,
+    backend: str = "clip",
 ) -> dict:
     from multimodal_content_moderation_tpu.cli.common import image_stats_from_dir
     from multimodal_content_moderation_tpu.data.dataset import CSVDataset
     from multimodal_content_moderation_tpu.data.images import ImagePreprocessor
     from multimodal_content_moderation_tpu.data.tokenizer import load_tokenizer
-    from multimodal_content_moderation_tpu.models import CLIPConfig, FusionModel
+    from multimodal_content_moderation_tpu.models import (
+        CLIPConfig,
+        FusionModel,
+        SigLIPConfig,
+    )
     from multimodal_content_moderation_tpu.models.convert import (
         fusion_model_from_torch,
     )
@@ -277,7 +320,7 @@ def run(
     class_names = class_names or ["racist", "sexist", "homophobe", "religion",
                                   "otherhate"]
     tokenizer = load_tokenizer(encoder_dir)
-    (H, W), mean, std = image_stats_from_dir(encoder_dir, "clip")
+    (H, W), mean, std = image_stats_from_dir(encoder_dir, backend)
     pp = ImagePreprocessor(H, W, mean, std)
     mk = lambda csv: CSVDataset(
         csv, image_root, tokenizer, pp, max_text_length, class_names=class_names
@@ -285,8 +328,16 @@ def run(
     train_ds, val_ds = mk(train_csv), mk(val_csv)
     orders = epoch_orders(len(train_ds), epochs, seed)
 
-    hf_cfg = transformers.CLIPConfig.from_pretrained(encoder_dir)
-    cfg = CLIPConfig.from_hf(hf_cfg)
+    if backend == "clip":
+        hf_cfg = transformers.CLIPConfig.from_pretrained(encoder_dir)
+        cfg = CLIPConfig.from_hf(hf_cfg)
+        cfg_kw = {"clip_config": cfg}
+        conv_kw = {"clip_cfg": cfg}
+    else:
+        hf_cfg = transformers.SiglipConfig.from_pretrained(encoder_dir)
+        cfg = SigLIPConfig.from_hf(hf_cfg)
+        cfg_kw = {"siglip_config": cfg}
+        conv_kw = {"siglip_cfg": cfg}
     if head == "mtl":
         from multimodal_content_moderation_tpu.models import MultiTaskModel
         from multimodal_content_moderation_tpu.models.convert import (
@@ -294,22 +345,25 @@ def run(
         )
 
         oracle = build_torch_mtl(
-            encoder_dir, len(class_names), fusion_dim, head_hidden_dim, seed
+            encoder_dir, len(class_names), fusion_dim, head_hidden_dim, seed,
+            backend=backend,
         )
         jmodel = MultiTaskModel.create(
-            "clip", num_tasks=len(class_names), fusion_dim=fusion_dim,
-            head_hidden_dim=head_hidden_dim, clip_config=cfg,
+            backend, num_tasks=len(class_names), fusion_dim=fusion_dim,
+            head_hidden_dim=head_hidden_dim, **cfg_kw,
         )
         convert = lambda sd: mtl_model_from_torch(
-            sd, "clip", num_tasks=len(class_names), clip_cfg=cfg
+            sd, backend, num_tasks=len(class_names), **conv_kw
         )
     else:
-        oracle = build_torch_fusion(encoder_dir, len(class_names), fusion_dim, seed)
-        jmodel = FusionModel.create(
-            "clip", num_labels=len(class_names), fusion_dim=fusion_dim,
-            clip_config=cfg,
+        oracle = build_torch_fusion(
+            encoder_dir, len(class_names), fusion_dim, seed, backend=backend
         )
-        convert = lambda sd: fusion_model_from_torch(sd, "clip", clip_cfg=cfg)
+        jmodel = FusionModel.create(
+            backend, num_labels=len(class_names), fusion_dim=fusion_dim,
+            **cfg_kw,
+        )
+        convert = lambda sd: fusion_model_from_torch(sd, backend, **conv_kw)
 
     if mode == "locked":
         jparams = convert(oracle.state_dict())
@@ -367,6 +421,7 @@ def main(argv=None):
     ap.add_argument("--fusion_dim", type=int, default=32)
     ap.add_argument("--head", choices=["fusion", "mtl"], default="fusion")
     ap.add_argument("--head_hidden_dim", type=int, default=0)
+    ap.add_argument("--backend", choices=["clip", "siglip"], default="clip")
     ap.add_argument("--max_text_length", type=int, default=77)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tolerance", type=float, default=0.005,
@@ -379,6 +434,7 @@ def main(argv=None):
         args.mode, args.epochs, args.batch_size, args.lr, args.weight_decay,
         args.fusion_dim, args.max_text_length, args.seed,
         head=args.head, head_hidden_dim=args.head_hidden_dim,
+        backend=args.backend,
     )
     print(json.dumps(report, indent=2))
     if args.output:

@@ -85,6 +85,55 @@ def build_fullscale_encoder(d: str) -> None:
         )
 
 
+def build_fullscale_siglip_encoder(d: str) -> None:
+    """SigLIP-B/16-224-shaped checkpoint dir (random weights, real arch:
+    12+12 layers, d=768 both towers, 196 patch tokens, vocab 32000)."""
+    import torch
+    import transformers
+    from safetensors.torch import save_file
+
+    # full-size WordLevel tokenizer.json (32k vocab) served by the native
+    # tokenizer.json engine; the sample words make synthetic text non-trivial
+    words = ["<unk>", "<pad>", "hate", "love", "people", "you", "stop", "go",
+             "bad", "good"]
+    vocab = {w: i for i, w in enumerate(words)}
+    i = 0
+    while len(vocab) < 32000:
+        tok = f"fill{i}"
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+        i += 1
+    tok_json = {
+        "version": "1.0",
+        "normalizer": {"type": "Lowercase"},
+        "pre_tokenizer": {"type": "Whitespace"},
+        "model": {"type": "WordLevel", "vocab": vocab, "unk_token": "<unk>"},
+        "added_tokens": [],
+        "post_processor": None,
+        "decoder": None,
+    }
+    with open(os.path.join(d, "tokenizer.json"), "w") as f:
+        json.dump(tok_json, f)
+    with open(os.path.join(d, "tokenizer_config.json"), "w") as f:
+        json.dump({"pad_token": "<pad>"}, f)
+
+    hf_cfg = transformers.SiglipConfig()  # == google/siglip-base-patch16-224
+    torch.manual_seed(0)
+    model = transformers.SiglipModel(hf_cfg).eval()
+    save_file(model.state_dict(), os.path.join(d, "model.safetensors"))
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(hf_cfg.to_dict(), f)
+    with open(os.path.join(d, "preprocessor_config.json"), "w") as f:
+        json.dump(
+            {
+                "size": {"height": 224, "width": 224},
+                "image_mean": [0.5, 0.5, 0.5],
+                "image_std": [0.5, 0.5, 0.5],
+            },
+            f,
+        )
+
+
 def build_synthetic_mmhs(d: str, n_train: int, n_val: int) -> None:
     """MMHS-shaped CSVs + JPEGs: 5 classes, multi-label, skewed priors."""
     import pandas as pd
@@ -128,14 +177,15 @@ def main():
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--head", choices=["fusion", "mtl"], default="fusion")
-    ap.add_argument(
-        "--output",
-        default=os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "docs", "quality_parity_fullscale.json",
-        ),
-    )
+    ap.add_argument("--backend", choices=["clip", "siglip"], default="clip")
+    ap.add_argument("--output", default="")
     args = ap.parse_args()
+    if not args.output:
+        suffix = "" if args.backend == "clip" else f"_{args.backend}"
+        args.output = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "docs", f"quality_parity_fullscale{suffix}.json",
+        )
 
     import jax
 
@@ -149,8 +199,12 @@ def main():
         data = os.path.join(tmp, "data")
         os.makedirs(enc)
         os.makedirs(data)
-        print("[fullscale-parity] building ViT-B/32 fixture ...", flush=True)
-        build_fullscale_encoder(enc)
+        if args.backend == "siglip":
+            print("[fullscale-parity] building SigLIP-B/16 fixture ...", flush=True)
+            build_fullscale_siglip_encoder(enc)
+        else:
+            print("[fullscale-parity] building ViT-B/32 fixture ...", flush=True)
+            build_fullscale_encoder(enc)
         build_synthetic_mmhs(data, args.n_train, args.n_val)
         print("[fullscale-parity] training both sides (locked mode) ...", flush=True)
         report = run(
@@ -164,12 +218,19 @@ def main():
             lr=1e-4,
             weight_decay=0.01,
             fusion_dim=512,
+            max_text_length=64 if args.backend == "siglip" else 77,
             head=args.head,
             head_hidden_dim=256 if args.head == "mtl" else 0,
+            backend=args.backend,
         )
     report["scale"] = {
-        "text": "12L/8H/d512", "vision": "12L/12H/d768 ViT-B/32",
-        "vocab": 49408, "image": 224, "fusion_dim": 512,
+        "text": "12L/8H/d512" if args.backend == "clip" else "12L/12H/d768",
+        "vision": (
+            "12L/12H/d768 ViT-B/32" if args.backend == "clip"
+            else "12L/12H/d768 SigLIP-B/16 (196 patches, MAP head)"
+        ),
+        "vocab": 49408 if args.backend == "clip" else 32000,
+        "image": 224, "fusion_dim": 512,
         "n_train": args.n_train, "epochs": args.epochs,
         "batch_size": args.batch_size,
     }
