@@ -164,6 +164,53 @@ class TestHTTPServer:
             urllib.request.urlopen(f"{server}/nope", timeout=30)
         assert e.value.code == 404
 
+    def test_model_failure_is_500_not_400(self):
+        """Server-side faults must surface as 5xx — SageMaker's router treats
+        4xx as client errors and would never mark the instance unhealthy or
+        retry (contrast: malformed input stays 400, tested above)."""
+        import threading
+        import urllib.error
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+
+        from multimodal_content_moderation_tpu.serving.server import (
+            _State,
+            _make_request_handler,
+        )
+
+        state = _State()
+        state.classifier = object()  # "loaded" as far as /ping is concerned
+
+        def exploding_predict(instances):
+            raise RuntimeError("device fault")
+
+        state.batcher = exploding_predict
+        s = ThreadingHTTPServer(("127.0.0.1", 0), _make_request_handler(state))
+        t = threading.Thread(target=s.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{s.server_address[1]}"
+            req = urllib.request.Request(
+                f"{url}/invocations",
+                data=json.dumps({"text": "hello"}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req, timeout=30)
+            assert e.value.code == 500
+            assert "device fault" in json.loads(e.value.read())["error"]
+            # malformed input on the same server is still a 400
+            bad = urllib.request.Request(
+                f"{url}/invocations",
+                data=b"{not json",
+                headers={"Content-Type": "application/json"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as e2:
+                urllib.request.urlopen(bad, timeout=30)
+            assert e2.value.code == 400
+        finally:
+            s.shutdown()
+
 
 class TestBatchTransform:
     def test_jsonl_roundtrip(self, classifier, tmp_path):
