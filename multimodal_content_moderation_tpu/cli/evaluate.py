@@ -93,6 +93,12 @@ def main(argv=None):
     args = parse_args(argv)
     _apply_device_flag(args.device)
 
+    from multimodal_content_moderation_tpu.utils.compile_cache import (
+        maybe_enable_from_env,
+    )
+
+    maybe_enable_from_env()
+
     from multimodal_content_moderation_tpu.models import model_io
     from multimodal_content_moderation_tpu.parallel.mesh import build_mesh, replicate
     from multimodal_content_moderation_tpu.training.loop import (

@@ -335,6 +335,11 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from multimodal_content_moderation_tpu.utils.compile_cache import (
+        maybe_enable_from_env,
+    )
+
+    maybe_enable_from_env()
     print(f"Loading model from: {args.checkpoint}")
     classifier = MultiModalClassifier(
         args.checkpoint, args.encoder_dir, batch_size=args.batch_size,

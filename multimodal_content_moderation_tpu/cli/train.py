@@ -104,6 +104,12 @@ def main(argv=None) -> Dict[str, Any]:
     args = parse_args(argv)
     config = override_config(load_config(args.config), args)
 
+    from multimodal_content_moderation_tpu.utils.compile_cache import (
+        maybe_enable_from_env,
+    )
+
+    maybe_enable_from_env()
+
     import jax
 
     from multimodal_content_moderation_tpu.data.dataset import CSVDataset

@@ -36,10 +36,17 @@ def model_fn(model_dir: str, encoder_dir: Optional[str] = None):
     MMHARM_IMAGE_BACKEND in {pil, native, native_scaled} picks the JPEG
     decode path (native_* = fused C++ libjpeg, GIL-free), and
     MMHARM_ATTENTION in {xla, pallas} picks the attention core (pallas =
-    fused TPU kernels)."""
+    fused TPU kernels), and MMHARM_COMPILE_CACHE=<dir|1> persists XLA
+    executables across container restarts (utils/compile_cache — turns the
+    ~20-40 s first-jit cold start into a disk read)."""
     import os
 
     from multimodal_content_moderation_tpu.cli.inference import MultiModalClassifier
+    from multimodal_content_moderation_tpu.utils.compile_cache import (
+        maybe_enable_from_env,
+    )
+
+    maybe_enable_from_env()
 
     return MultiModalClassifier(
         model_dir,

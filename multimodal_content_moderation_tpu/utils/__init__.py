@@ -1,3 +1,7 @@
+from multimodal_content_moderation_tpu.utils.compile_cache import (  # noqa: F401
+    enable_compilation_cache,
+    maybe_enable_from_env,
+)
 from multimodal_content_moderation_tpu.utils.config import (  # noqa: F401
     ensure_dir,
     infer_size,

@@ -85,6 +85,37 @@ class TestEvaluateCLI:
         assert "f1_calibrated" in metrics["per_class"]["racist"]
 
 
+    def test_evaluate_cli_compile_cache_env(
+        self, trained_run, data_dir, tmp_path, monkeypatch
+    ):
+        """MMHARM_COMPILE_CACHE on the evaluate CLI persists XLA executables
+        (the serving/CLI cold-start knob, utils/compile_cache)."""
+        import jax
+
+        from multimodal_content_moderation_tpu.cli import evaluate as eval_cli
+
+        out, result = trained_run
+        ckpt = result["result"]["best_checkpoint"]
+        cache = tmp_path / "xla_cache"
+        monkeypatch.setenv("MMHARM_COMPILE_CACHE", str(cache))
+        try:
+            metrics = eval_cli.main(
+                [
+                    "--checkpoint", ckpt,
+                    "--test_csv", f"{data_dir}/test.csv",
+                    "--image_root", f"{data_dir}/images",
+                    "--batch_size", "8",
+                    "--output", str(tmp_path / "eval.json"),
+                ]
+            )
+        finally:
+            jax.config.update("jax_compilation_cache_dir", None)
+        assert "f1_macro" in metrics
+        assert cache.is_dir() and any(cache.iterdir()), (
+            "no persistent XLA cache entries written by the evaluate CLI"
+        )
+
+
 class TestInferenceCLI:
     def test_single_predict(self, trained_run, data_dir):
         from multimodal_content_moderation_tpu.cli.inference import MultiModalClassifier
