@@ -113,8 +113,10 @@ class MultiModalClassifier:
         self, texts: List[str], image_paths: List[str], image_root: str = ""
     ) -> np.ndarray:
         import concurrent.futures as cf
-        import queue
-        import threading
+
+        from multimodal_content_moderation_tpu.data.pipeline import (
+            bounded_producer,
+        )
 
         n = len(texts)
         bs = self.batch_size
@@ -153,33 +155,9 @@ class MultiModalClassifier:
                 }
             return s, valid, batch
 
-        q: queue.Queue = queue.Queue(maxsize=2)
-        _END = object()
-        err: list = []
-        cancelled = threading.Event()
-
-        def producer():
-            try:
-                for s in range(0, n, bs):
-                    item = build(s)
-                    # bounded put that re-checks cancellation: if the
-                    # consumer died, a plain q.put could block forever
-                    # (maxsize 2) and leak this thread + the decode pool
-                    while not cancelled.is_set():
-                        try:
-                            q.put(item, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if cancelled.is_set():
-                        return
-            except BaseException as e:  # propagate into the consumer
-                err.append(e)
-            finally:
-                q.put(_END)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
+        q, _END, err, cancel = bounded_producer(
+            lambda: (build(s) for s in range(0, n, bs)), size=2
+        )
         try:
             while True:
                 item = q.get()
@@ -190,14 +168,11 @@ class MultiModalClassifier:
                 s, valid, batch = item
                 out[s : s + valid] = self.forward_batch(batch, valid)
         finally:
-            cancelled.set()
-            # drain so the producer's final q.put(_END) cannot block
-            while not q.empty():
-                try:
-                    q.get_nowait()
-                except queue.Empty:  # pragma: no cover - racy by nature
-                    break
-            t.join(timeout=5)
+            # On consumer error the producer could be blocked on the full
+            # queue — cancel() unblocks + reaps it so the thread, the decode
+            # pool, and its prepared batches never leak in a long-lived
+            # process.
+            cancel()
             pool.shutdown(wait=False)
         return out
 

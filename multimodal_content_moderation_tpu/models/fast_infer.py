@@ -138,55 +138,51 @@ def evaluate_logits_u8(
     bounded in-flight window) but on the u8 wire format — this is the
     measurement boundary the reference's 400.9 samples/s uses (its evaluate
     loop includes the DataLoader, scripts/evaluate.py:163-183)."""
-    import queue
-    import threading
+    from multimodal_content_moderation_tpu.data.pipeline import bounded_producer
 
     # Host batch prep (decode-or-cache-read + u8 patch extraction) runs on a
     # background thread, two batches ahead, so it overlaps the host->device
     # transfer + dispatch of the current batch — without this the pipeline
     # serializes prep and transfer per batch (measured ~2x on a
     # transfer-bound link).
-    q: queue.Queue = queue.Queue(maxsize=2)
-    _END = object()
-    err: list = []
+    def prep():
+        for batch in dataset.batches(
+            batch_size, pad_to_batch=True, num_workers=num_workers
+        ):
+            valid = int(batch.pop("_valid"))
+            labels = batch.pop("labels")[:valid]
+            patches = engine.patches_from_hwc(batch["pixel_values"])
+            yield valid, labels, batch, patches
 
-    def producer():
-        try:
-            for batch in dataset.batches(
-                batch_size, pad_to_batch=True, num_workers=num_workers
-            ):
-                valid = int(batch.pop("_valid"))
-                labels = batch.pop("labels")[:valid]
-                patches = engine.patches_from_hwc(batch["pixel_values"])
-                q.put((valid, labels, batch, patches))
-        except BaseException as e:  # propagate into the consumer
-            err.append(e)
-        finally:
-            q.put(_END)
-
-    threading.Thread(target=producer, daemon=True).start()
+    q, _END, err, cancel = bounded_producer(prep, size=2)
 
     all_logits, all_labels, valids, outs = [], [], [], []
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            break
-        valid, labels, batch, patches = item
-        valids.append(valid)
-        all_labels.append(labels)
-        outs.append(
-            engine(
-                batch["input_ids"],
-                batch["attention_mask"],
-                patches,
-                batch["text_present"],
-                batch["image_present"],
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                break
+            valid, labels, batch, patches = item
+            valids.append(valid)
+            all_labels.append(labels)
+            outs.append(
+                engine(
+                    batch["input_ids"],
+                    batch["attention_mask"],
+                    patches,
+                    batch["text_present"],
+                    batch["image_present"],
+                )
             )
-        )
-        if len(outs) > 2:
-            all_logits.append(np.asarray(outs.pop(0)))
+            if len(outs) > 2:
+                all_logits.append(np.asarray(outs.pop(0)))
+    finally:
+        # if the device forward raised, unblock + reap the producer thread
+        # (a plain q.put on the full queue would leak it in a long-lived
+        # serving process — same hazard as cli/inference._logits)
+        cancel()
     all_logits.extend(np.asarray(o) for o in outs)
     all_logits = [lg[:v] for lg, v in zip(all_logits, valids)]
     return np.concatenate(all_logits), np.concatenate(all_labels)
