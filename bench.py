@@ -270,6 +270,36 @@ def main() -> None:
         "value_min": round(min(rates), 1),
         "value_max": round(max(rates), 1),
     }
+
+    # Length-bucketed device path (the evaluate CLI's production default,
+    # --seq_buckets auto): tweet-length rows (EOS at 30) run the text tower
+    # at the 32-token bucket instead of padded 77 — EXACT for CLIP (causal +
+    # EOS pooling, see models/fast_infer.evaluate_logits_u8). The unbucketed
+    # "value" above is kept as the primary metric for cross-round
+    # comparability with BENCH_r01/r02.
+    BUCKET = 32
+    idb_stage = [
+        jax.device_put(make_ids(5000 + k)[:, :BUCKET])
+        for k in range(PASSES * n_batches)
+    ]
+    mask_b = jax.device_put(np.ones((BATCH, BUCKET), np.int32))
+    _ = float(engine(idb_stage[0], mask_b, patch_stage[0], ones, ones)[0, 0])
+    rates_b = []
+    k = 0
+    for _ in range(PASSES):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(n_batches):
+            out = engine(idb_stage[k], mask_b, patch_stage[i % N_STAGED], ones, ones)
+            k += 1
+        _ = float(out[0, 0])
+        rates_b.append(N_SAMPLES / (time.perf_counter() - t0))
+    result.update(
+        value_bucketed=round(float(np.median(rates_b)), 1),
+        value_bucketed_min=round(min(rates_b), 1),
+        value_bucketed_max=round(max(rates_b), 1),
+        bucketed_note="seq-32 text bucket (tweet-length rows), exact for CLIP",
+    )
     if os.environ.get("BENCH_E2E", "1") != "0":
         # honest full-pipeline number (decode included, like the reference's)
         result.update(bench_e2e(engine))

@@ -53,6 +53,17 @@ def parse_args(argv=None):
         "inside the kernel). xla = plain einsum chain",
     )
     parser.add_argument(
+        "--seq_buckets",
+        type=str,
+        default="auto",
+        help="length-sorted bucketed evaluation (fast engine, CLIP backend "
+        "only): comma-separated ladder of static text lengths, e.g. "
+        "'32,48,64'; each batch runs at the smallest bucket covering its "
+        "longest row. EXACT for CLIP (causal text tower + EOS pooling — "
+        "padding past EOS is dead compute). 'auto' = 32,48,64 when "
+        "applicable; 'off' disables",
+    )
+    parser.add_argument(
         "--image_backend",
         choices=["pil", "native", "native_scaled"],
         default="pil",
@@ -162,8 +173,17 @@ def main(argv=None):
         # north-star path: the fast engine runs SPMD over the data axis of
         # the device mesh (single-chip hosts collapse to plain jit)
         engine = FastInferenceEngine(model, params, mean, std, mesh=build_mesh())
+        sb = (args.seq_buckets or "off").strip().lower()
+        if sb == "auto":
+            buckets = (32, 48, 64) if model.backend == "clip" else None
+        elif sb in ("off", "none", ""):
+            buckets = None
+        else:
+            buckets = tuple(int(b) for b in sb.split(","))
         t0 = time.time()
-        logits, labels = evaluate_logits_u8(engine, test_ds, args.batch_size)
+        logits, labels = evaluate_logits_u8(
+            engine, test_ds, args.batch_size, seq_buckets=buckets
+        )
         dt = time.time() - t0
     else:
         mesh = build_mesh()

@@ -131,14 +131,51 @@ def evaluate_logits_u8(
     dataset,
     batch_size: int,
     num_workers: int = 8,
+    seq_buckets: Optional[Sequence[int]] = None,
 ):
     """Stream a CSVDataset (built with a uint8_hwc preprocessor) through the
-    fast engine; returns (logits, labels) host arrays. Mirrors
-    training.loop.evaluate_logits (padded last batch, async dispatch with a
-    bounded in-flight window) but on the u8 wire format — this is the
-    measurement boundary the reference's 400.9 samples/s uses (its evaluate
-    loop includes the DataLoader, scripts/evaluate.py:163-183)."""
+    fast engine; returns (logits, labels) host arrays in the dataset's
+    natural row order. Mirrors training.loop.evaluate_logits (padded last
+    batch, async dispatch with a bounded in-flight window) but on the u8 wire
+    format — this is the measurement boundary the reference's 400.9 samples/s
+    uses (its evaluate loop includes the DataLoader,
+    scripts/evaluate.py:163-183).
+
+    ``seq_buckets`` (CLIP backend only) enables length-sorted bucketed
+    evaluation: rows are visited in token-length order and each batch's
+    ``input_ids``/``attention_mask`` are truncated to the smallest bucket
+    covering its longest row. For CLIP this is EXACT, not approximate — the
+    text tower is causal and pools the first-EOS hidden state
+    (models/clip.py:clip_text_pooled), so positions past a row's EOS cannot
+    influence its pooled feature; dropping padding columns removes dead
+    compute the reference always pays (it pads every row to 77,
+    scripts/inference.py:168-180). Each bucket is one extra XLA compile
+    (static shapes; the persistent compile cache absorbs repeats). SigLIP is
+    rejected: its HF text tower is bidirectional and runs WITHOUT a padding
+    mask, so padding columns do feed the pooled feature there.
+    """
     from multimodal_content_moderation_tpu.data.pipeline import bounded_producer
+
+    indices = None
+    full_T = dataset.input_ids.shape[1]
+    if seq_buckets:
+        if engine.model.backend != "clip":
+            raise ValueError(
+                "seq_buckets requires the CLIP backend (causal text tower + "
+                f"EOS pooling); got backend={engine.model.backend!r} whose "
+                "text padding is not inert"
+            )
+        ladder = sorted({int(b) for b in seq_buckets if 0 < int(b) < full_T})
+        ladder.append(full_T)
+        lengths = dataset.attention_mask.sum(axis=1)
+        indices = np.argsort(lengths, kind="stable")
+
+        def bucket_of(mask: np.ndarray) -> int:
+            L = int(mask.sum(axis=1).max(initial=1))
+            for b in ladder:
+                if b >= L:
+                    return b
+            return full_T
 
     # Host batch prep (decode-or-cache-read + u8 patch extraction) runs on a
     # background thread, two batches ahead, so it overlaps the host->device
@@ -147,11 +184,18 @@ def evaluate_logits_u8(
     # transfer-bound link).
     def prep():
         for batch in dataset.batches(
-            batch_size, pad_to_batch=True, num_workers=num_workers
+            batch_size,
+            pad_to_batch=True,
+            num_workers=num_workers,
+            indices=indices,
         ):
             valid = int(batch.pop("_valid"))
             labels = batch.pop("labels")[:valid]
             patches = engine.patches_from_hwc(batch["pixel_values"])
+            if indices is not None:
+                b = bucket_of(batch["attention_mask"])
+                batch["input_ids"] = batch["input_ids"][:, :b]
+                batch["attention_mask"] = batch["attention_mask"][:, :b]
             yield valid, labels, batch, patches
 
     q, _END, err, cancel = bounded_producer(prep, size=2)
@@ -185,4 +229,10 @@ def evaluate_logits_u8(
         cancel()
     all_logits.extend(np.asarray(o) for o in outs)
     all_logits = [lg[:v] for lg, v in zip(all_logits, valids)]
-    return np.concatenate(all_logits), np.concatenate(all_labels)
+    logits = np.concatenate(all_logits)
+    labels = np.concatenate(all_labels)
+    if indices is not None:  # restore the dataset's natural row order
+        inv = np.empty_like(indices)
+        inv[indices] = np.arange(len(indices))
+        logits, labels = logits[inv], labels[inv]
+    return logits, labels

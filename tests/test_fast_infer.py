@@ -417,3 +417,166 @@ def test_evaluate_logits_u8_on_mesh(tmp_path):
     lg, lb = evaluate_logits_u8(meshed, ds, batch_size=8, num_workers=2)
     np.testing.assert_allclose(lg, lg_ref, atol=1e-5, rtol=1e-5)
     np.testing.assert_array_equal(lb, lb_ref)
+
+
+# ---------------------------------------------------------------------------
+# Length-sorted bucketed evaluation (seq_buckets): EXACT for CLIP because the
+# text tower is causal and pools the first-EOS hidden state — positions past
+# a row's EOS are dead compute (the reference always pays them, padding every
+# row to 77: scripts/inference.py:168-180).
+# ---------------------------------------------------------------------------
+
+
+class _VarLenTok:
+    """Stub tokenizer: token length = word count + BOS/EOS, like CLIP BPE."""
+
+    def encode_batch(self, texts, max_length):
+        ids = np.zeros((len(texts), max_length), np.int32)
+        mask = np.zeros((len(texts), max_length), np.int32)
+        for i, t in enumerate(texts):
+            n = min(len((t or "x").split()) + 2, max_length)
+            ids[i, : n - 1] = 1 + (i % 50)
+            ids[i, n - 1] = 63  # EOS
+            mask[i, :n] = 1
+        return ids, mask
+
+    def __call__(self, texts, max_length):
+        return self.encode_batch(texts, max_length)
+
+
+def test_clip_text_truncation_exact():
+    """Slicing padded ids to any length >= the EOS position leaves the pooled
+    text feature bit-unchanged (causal mask + EOS pooling)."""
+    from multimodal_content_moderation_tpu.models.clip import clip_text_features
+
+    cfg = CLIPConfig(
+        text=CLIPTextConfig(
+            vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, max_positions=16, eos_token_id=63,
+        ),
+        vision=CLIPVisionConfig(
+            hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
+            image_size=32, patch_size=16,
+        ),
+        projection_dim=32,
+    )
+    model = FusionModel.create("clip", num_labels=2, fusion_dim=8, clip_config=cfg)
+    params = model.init(jax.random.key(5))["backbone"]
+
+    g = np.random.default_rng(5)
+    B, T = 4, 16
+    ids = np.zeros((B, T), np.int32)
+    mask = np.zeros((B, T), np.int32)
+    for i, n in enumerate([3, 5, 7, 8]):  # EOS at n-1, all < bucket 8
+        ids[i, : n - 1] = g.integers(1, 62, size=n - 1)
+        ids[i, n - 1] = 63
+        mask[i, :n] = 1
+
+    full = np.asarray(clip_text_features(params, ids, mask, cfg))
+    cut = np.asarray(clip_text_features(params, ids[:, :8], mask[:, :8], cfg))
+    np.testing.assert_allclose(cut, full, atol=1e-6, rtol=1e-6)
+
+
+def _bucket_dataset(tmp_path, n=22):
+    import pandas as pd
+    from PIL import Image
+
+    from multimodal_content_moderation_tpu.data.dataset import CSVDataset
+    from multimodal_content_moderation_tpu.data.images import ImagePreprocessor
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    g = np.random.default_rng(7)
+    rows = []
+    for i in range(n):
+        if i == 4:
+            name = "missing.png"  # degradation path: zeros + present=0
+        else:
+            name = f"im{i}.png"
+            Image.fromarray(
+                g.integers(0, 256, size=(36, 40, 3), dtype=np.uint8)
+            ).save(img_dir / name)
+        words = " ".join(["w"] * (1 + (7 * i) % 9))  # lengths 3..11 tokens
+        rows.append(
+            {"text": words, "image_path": name,
+             "labels": "racist" if i % 2 else "sexist"}
+        )
+    csv = tmp_path / "test.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    pre = ImagePreprocessor(32, 32, MEAN, STD, output="uint8_hwc")
+    return CSVDataset(
+        str(csv), str(img_dir), _VarLenTok(), pre, 12,
+        class_names=["racist", "sexist", "other"],
+    )
+
+
+def test_evaluate_logits_u8_seq_buckets_exact(tmp_path):
+    """Bucketed eval == unbucketed eval, rows back in natural CSV order,
+    across mixed lengths, a missing image, and a padded last batch."""
+    from multimodal_content_moderation_tpu.models.fast_infer import (
+        evaluate_logits_u8,
+    )
+
+    ds = _bucket_dataset(tmp_path)
+    model, params = _tiny_fusion(seed=3)
+    engine = FastInferenceEngine(model, params, MEAN, STD, use_pallas=False)
+
+    lg_ref, lb_ref = evaluate_logits_u8(engine, ds, batch_size=8, num_workers=2)
+    lg, lb = evaluate_logits_u8(
+        engine, ds, batch_size=8, num_workers=2, seq_buckets=(6, 8)
+    )
+    np.testing.assert_array_equal(lb, lb_ref)  # natural order restored
+    np.testing.assert_allclose(lg, lg_ref, atol=1e-5, rtol=1e-5)
+
+
+def test_evaluate_logits_u8_seq_buckets_on_mesh(tmp_path):
+    """Buckets compose with the SPMD data-mesh engine."""
+    from multimodal_content_moderation_tpu.models.fast_infer import (
+        evaluate_logits_u8,
+    )
+    from multimodal_content_moderation_tpu.parallel.mesh import build_mesh
+
+    ds = _bucket_dataset(tmp_path, n=24)
+    model, params = _tiny_fusion(seed=4)
+    single = FastInferenceEngine(model, params, MEAN, STD, use_pallas=False)
+    lg_ref, _ = evaluate_logits_u8(single, ds, batch_size=8, num_workers=2)
+
+    meshed = FastInferenceEngine(
+        model, params, MEAN, STD, use_pallas=False, mesh=build_mesh()
+    )
+    lg, _ = evaluate_logits_u8(
+        meshed, ds, batch_size=8, num_workers=2, seq_buckets=(8,)
+    )
+    np.testing.assert_allclose(lg, lg_ref, atol=1e-5, rtol=1e-5)
+
+
+def test_seq_buckets_rejects_siglip(tmp_path):
+    """SigLIP's bidirectional unmasked text tower makes truncation lossy —
+    the eval loop must refuse rather than silently change logits."""
+    from multimodal_content_moderation_tpu.models.fast_infer import (
+        evaluate_logits_u8,
+    )
+    from multimodal_content_moderation_tpu.models.siglip import (
+        SigLIPConfig,
+        SigLIPTextConfig,
+        SigLIPVisionConfig,
+    )
+
+    cfg = SigLIPConfig(
+        text=SigLIPTextConfig(
+            vocab_size=64, hidden_size=32, num_layers=1, num_heads=2,
+            intermediate_size=64, max_positions=12, projection_size=32,
+        ),
+        vision=SigLIPVisionConfig(
+            hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
+            image_size=32, patch_size=16,
+        ),
+    )
+    model = FusionModel.create("siglip", num_labels=3, fusion_dim=8, siglip_config=cfg)
+    params = model.init(jax.random.key(6))
+    engine = FastInferenceEngine(
+        model, params, SIGLIP_MEAN, SIGLIP_STD, use_pallas=False
+    )
+    ds = _bucket_dataset(tmp_path, n=8)
+    with pytest.raises(ValueError, match="CLIP backend"):
+        evaluate_logits_u8(engine, ds, batch_size=8, seq_buckets=(8,))
