@@ -42,6 +42,7 @@ class MultiModalClassifier:
         engine: str = "standard",  # "standard" | "fast" (u8 wire + Pallas embed)
         image_backend: str = "pil",  # "pil" | "native" | "native_scaled"
         attention: str = "xla",  # "xla" | "pallas" (fused TPU attention kernels)
+        seq_buckets: str = "auto",  # fast engine + CLIP only; "off" disables
     ):
         import jax
 
@@ -103,6 +104,25 @@ class MultiModalClassifier:
             self.engine = FastInferenceEngine(self.model, self.params, mean, std)
         else:
             self.preproc = ImagePreprocessor(H, W, mean, std, backend=image_backend)
+
+        # Length-bucket ladder for the fast engine (CLIP only): the text
+        # tower is causal and pools the first-EOS hidden state, so truncating
+        # ids/mask to any static length >= the batch's last EOS is EXACT —
+        # same argument as evaluate's seq_buckets (models/fast_infer.py).
+        # Applied per batch inside forward_batch, so every consumer (predict,
+        # predict_batch, the serving handler, the MicroBatcher) benefits.
+        self._bucket_ladder: Optional[List[int]] = None
+        if self.engine is not None and backend == "clip":
+            sb = (seq_buckets or "off").strip().lower()
+            if sb == "auto":
+                ladder = [32, 48, 64]
+            elif sb in ("off", "none", ""):
+                ladder = None
+            else:
+                ladder = [int(b) for b in sb.split(",")]
+            if ladder is not None:
+                ladder = sorted({b for b in ladder if 0 < b < self.max_len})
+                self._bucket_ladder = ladder + [self.max_len]
 
         model = self.model
         self._forward = jax.jit(lambda p, b: model.apply(p, b)["logits"])
@@ -184,10 +204,17 @@ class MultiModalClassifier:
         path. Shared by the API and the serving handler."""
         if self.engine is not None:
             patches = self.engine.patches_from_hwc(batch["pixel_values"])
+            ids, mask = batch["input_ids"], batch["attention_mask"]
+            if self._bucket_ladder:
+                L = int(np.asarray(mask).sum(axis=1).max(initial=1))
+                b = next(
+                    (x for x in self._bucket_ladder if x >= L), ids.shape[1]
+                )
+                ids, mask = ids[:, :b], mask[:, :b]
             logits = np.asarray(
                 self.engine(
-                    batch["input_ids"],
-                    batch["attention_mask"],
+                    ids,
+                    mask,
                     patches,
                     batch["text_present"],
                     batch["image_present"],
@@ -294,6 +321,16 @@ def parse_args(argv=None):
         help="attention core: pallas = fused TPU kernels (fastest on TPU)",
     )
     parser.add_argument(
+        "--seq_buckets",
+        type=str,
+        default="auto",
+        help="length-bucketed text (fast engine + CLIP backend only): each "
+        "batch's input_ids/attention_mask are truncated to the smallest "
+        "bucket covering its longest row — EXACT for CLIP (causal text "
+        "tower + EOS pooling). 'auto' = 32,48,64; 'off' disables; or a "
+        "comma-separated ladder",
+    )
+    parser.add_argument(
         "--device",
         type=str,
         default=None,
@@ -320,6 +357,7 @@ def main(argv=None):
         args.checkpoint, args.encoder_dir, batch_size=args.batch_size,
         precision=args.precision, engine=args.engine,
         image_backend=args.image_backend, attention=args.attention,
+        seq_buckets=args.seq_buckets,
     )
     print(f"Classes: {classifier.class_names}")
 

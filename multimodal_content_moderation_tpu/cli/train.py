@@ -63,6 +63,13 @@ def parse_args(argv=None):
     )
     parser.add_argument("--training.lr_encoder", dest="lr_encoder", type=float, default=None)
     parser.add_argument("--training.lr_head", dest="lr_head", type=float, default=None)
+    parser.add_argument(
+        "--training.text_fit", dest="text_fit", default=None,
+        help="'auto' shrinks the static text width to the data's longest row "
+        "(rounded up to a multiple of 8) — exact for CLIP (causal + EOS "
+        "pooling), skipped with a warning otherwise; 'off' keeps the padded "
+        "model.max_text_length the reference always pays",
+    )
     parser.add_argument("--saving.output_dir", dest="output_dir", default=None)
     parser.add_argument("--seed", type=int, default=None)
     # mesh shape: data axis (-1 = all remaining devices) x model axis (TP)
@@ -87,6 +94,7 @@ def override_config(config: Dict[str, Any], args) -> Dict[str, Any]:
         ("training", "per_device_train_batch_size"): args.batch_size,
         ("training", "lr_encoder"): args.lr_encoder,
         ("training", "lr_head"): args.lr_head,
+        ("training", "text_fit"): args.text_fit,
         ("saving", "output_dir"): args.output_dir,
         ("parallel", "data"): args.mesh_data,
         ("parallel", "model"): args.mesh_model,
@@ -176,6 +184,34 @@ def main(argv=None) -> Dict[str, Any]:
     val_ds = mk_ds(data_cfg["val_csv"], eval_pp, False)
     test_ds = mk_ds(data_cfg["test_csv"], eval_pp, False) if data_cfg.get("test_csv") else None
     class_names = train_ds.class_names
+
+    # training.text_fit: shrink the static text width to the data's longest
+    # row (rounded up to a multiple of 8 for MXU-friendly tiling). EXACT for
+    # CLIP — causal text tower + EOS pooling means positions past EOS carry
+    # zero activations-to-pool and zero gradients (same argument, and the
+    # same test basis, as evaluate's seq_buckets; models/fast_infer.py). The
+    # reference always pads to 77 and pays the text tower for the padding.
+    text_fit = str(train_cfg.get("text_fit", "off") or "off").lower()
+    if text_fit in ("auto", "on", "true", "1"):
+        if model_cfg["backend"] != "clip":
+            logger.warning(
+                "training.text_fit ignored: requires the CLIP backend "
+                "(causal + EOS pooling); backend=%s pads are not inert",
+                model_cfg["backend"],
+            )
+        else:
+            splits = [d for d in (train_ds, val_ds, test_ds) if d is not None]
+            longest = max(
+                int(d.attention_mask.sum(axis=1).max(initial=1)) for d in splits
+            )
+            fit = min(max_len, max(8, -(-longest // 8) * 8))
+            if fit < max_len:
+                for d in splits:
+                    d.truncate_text(fit)
+                logger.info(
+                    "text_fit: static text width %d -> %d (longest row %d)",
+                    max_len, fit, longest,
+                )
     logger.info(
         "train %d | val %d | test %d",
         len(train_ds),

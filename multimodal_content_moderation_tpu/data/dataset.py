@@ -93,6 +93,26 @@ class CSVDataset:
                 cache_dir, self.paths, image_root, preprocessor
             )
 
+    def truncate_text(self, width: int) -> None:
+        """Shrink the static text width to ``width`` tokens (in place).
+
+        Used by ``training.text_fit``: when every row's EOS sits before
+        ``width``, a causal text tower with EOS pooling (CLIP) produces
+        bit-identical features and gradients at the smaller static shape —
+        the dropped columns are dead compute the reference always pays by
+        padding to 77 (src/data/dataset.py tokenizer call). Refuses to drop
+        real tokens."""
+        if width >= self.input_ids.shape[1]:
+            return
+        if int(self.attention_mask[:, width:].sum()) != 0:
+            raise ValueError(
+                f"truncate_text({width}) would drop real tokens (longest row "
+                f"is {int(self.attention_mask.sum(axis=1).max())} tokens)"
+            )
+        self.input_ids = np.ascontiguousarray(self.input_ids[:, :width])
+        self.attention_mask = np.ascontiguousarray(self.attention_mask[:, :width])
+        self.max_len = width
+
     def __len__(self) -> int:
         return len(self.texts)
 

@@ -323,6 +323,72 @@ def test_fast_engine_serving_equals_standard(trained_run, data_dir):
             ), (text, img, name)
 
 
+@pytest.mark.slow
+def test_train_text_fit_exact(config_file, trained_run, tmp_path):
+    """training.text_fit=auto shrinks the static text width to the data's
+    longest row (16 -> 8 here). For CLIP (causal + EOS pooling) the dropped
+    columns carry zero pooled activations AND zero gradients, so the whole
+    training trajectory — per-epoch val metrics and calibrated thresholds —
+    must match the padded run, not just the final model."""
+    from multimodal_content_moderation_tpu.cli import train as train_cli
+
+    _, base = trained_run
+    out = str(tmp_path / "fit")
+    r = train_cli.main(
+        ["--config", config_file, "--saving.output_dir", out,
+         "--training.text_fit", "auto"]
+    )
+    def is_timing(k):
+        return "runtime" in k or "per_second" in k or "ms" in k
+
+    hist_fit = r["result"]["history"]
+    hist_off = base["result"]["history"]
+    assert len(hist_fit) == len(hist_off) and hist_fit
+    for m_fit, m_off in zip(hist_fit, hist_off):
+        for k, v in m_off.items():
+            if isinstance(v, float) and not is_timing(k):
+                assert m_fit[k] == pytest.approx(v, abs=1e-5), k
+    for k, v in base["val"].items():
+        if isinstance(v, float) and not is_timing(k):
+            assert r["val"][k] == pytest.approx(v, abs=1e-5), k
+    assert r["thresholds"] == pytest.approx(base["thresholds"], abs=1e-6)
+
+
+def test_fast_engine_seq_buckets_exact(trained_run, data_dir):
+    """Per-batch text bucketing in forward_batch (fast engine + CLIP) must
+    leave probabilities unchanged — positions past a row's EOS are dead
+    compute (causal text tower + EOS pooling), so running the batch at the
+    6-token bucket instead of padded 16 is exact, not approximate."""
+    from multimodal_content_moderation_tpu.cli.inference import MultiModalClassifier
+
+    _, result = trained_run
+    ckpt = result["result"]["best_checkpoint"]
+    off = MultiModalClassifier(ckpt, batch_size=4, engine="fast", seq_buckets="off")
+    bkt = MultiModalClassifier(ckpt, batch_size=4, engine="fast", seq_buckets="6")
+    assert bkt._bucket_ladder == [6, bkt.max_len]
+    texts = ["hate hate hate", "love love love", "", "hate love"]
+    paths = [
+        os.path.join(data_dir, "images", "im0.png"),
+        os.path.join(data_dir, "images", "im1.png"),
+        os.path.join(data_dir, "images", "im2.png"),
+        "/nonexistent.png",  # degradation branch
+    ]
+    a = off.predict_batch(texts, paths)
+    b = bkt.predict_batch(texts, paths)
+    for ra, rb in zip(a, b):
+        for name in ra["predictions"]:
+            assert rb["predictions"][name]["probability"] == pytest.approx(
+                ra["predictions"][name]["probability"], abs=1e-6
+            )
+    # single-row path too
+    sa = off.predict(texts[0], paths[0])
+    sb = bkt.predict(texts[0], paths[0])
+    for name in sa["predictions"]:
+        assert sb["predictions"][name]["probability"] == pytest.approx(
+            sa["predictions"][name]["probability"], abs=1e-6
+        )
+
+
 def test_evaluate_cli_fast_engine_matches_standard(trained_run, data_dir, tmp_path):
     """--engine fast (u8 wire + fused embed, decode included in the timing
     boundary) must reproduce the standard path's metrics."""

@@ -162,6 +162,9 @@ def main(argv=None):
     ap.add_argument("--precision", default="bf16_fast")
     ap.add_argument("--attention", default="pallas")
     ap.add_argument("--image_backend", default="native_scaled")
+    ap.add_argument("--seq_buckets", default="auto",
+                    help="MMHARM_SEQ_BUCKETS for the handler (fast engine + "
+                    "CLIP: per-batch exact text buckets; 'off' disables)")
     ap.add_argument("--microbatch_ms", type=float, default=0.0,
                     help=">0 enables cross-request micro-batching "
                     "(serving/server.MicroBatcher) with this window")
@@ -172,6 +175,7 @@ def main(argv=None):
     os.environ["MMHARM_ATTENTION"] = args.attention
     os.environ["MMHARM_IMAGE_BACKEND"] = args.image_backend
     os.environ["MMHARM_MICROBATCH_MS"] = str(args.microbatch_ms)
+    os.environ["MMHARM_SEQ_BUCKETS"] = args.seq_buckets
 
     from multimodal_content_moderation_tpu.serving import server as srv
 

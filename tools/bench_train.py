@@ -68,7 +68,9 @@ def build(wire: str, scores_dtype: str, attention: str = "xla", backend: str = "
     return model
 
 
-def run_once(model, wire: str, B: int, steps: int, accumulator_dtype=None) -> float:
+def run_once(
+    model, wire: str, B: int, steps: int, accumulator_dtype=None, text_len=None
+) -> float:
     """Returns samples/s for one (wire, batch) config."""
     import jax
 
@@ -92,7 +94,7 @@ def run_once(model, wire: str, B: int, steps: int, accumulator_dtype=None) -> fl
     img = model.image_size
     cfg = model.clip_config if model.backend == "clip" else model.siglip_config
     patch = cfg.vision.patch_size
-    seq = min(cfg.text.max_positions, 77)
+    seq = int(text_len) if text_len else min(cfg.text.max_positions, 77)
     vocab = cfg.text.vocab_size
     eos = getattr(cfg.text, "eos_token_id", vocab - 1)
 
@@ -130,7 +132,7 @@ def run_once(model, wire: str, B: int, steps: int, accumulator_dtype=None) -> fl
     return steps * B / best_dt, best_dt / steps
 
 
-def decompose(model, wire: str, B: int, steps: int):
+def decompose(model, wire: str, B: int, steps: int, text_len=None):
     """Forward / forward+backward / full-step timing split (the train-step
     decomposition in docs/PERFORMANCE.md). Runs each stage as its own jit
     with the same batch shapes and scalar-fetch barriers."""
@@ -148,7 +150,7 @@ def decompose(model, wire: str, B: int, steps: int):
     img = model.image_size
     cfg = model.clip_config if model.backend == "clip" else model.siglip_config
     patch = cfg.vision.patch_size
-    seq = min(cfg.text.max_positions, 77)
+    seq = int(text_len) if text_len else min(cfg.text.max_positions, 77)
     vocab = cfg.text.vocab_size
     eos = getattr(cfg.text, "eos_token_id", vocab - 1)
 
@@ -227,6 +229,12 @@ def main():
         "halves optimizer HBM traffic; '' keeps fp32",
     )
     ap.add_argument(
+        "--text_len", type=int, default=0,
+        help="static text length for the synthetic batch (0 = padded 77). "
+        "Models training.text_fit: fit-to-data static truncation, exact "
+        "for CLIP (causal + EOS pooling -> zero grads past EOS)",
+    )
+    ap.add_argument(
         "--attention", choices=["xla", "pallas"], default="xla",
         help="attention core (pallas = [B,T,D]-layout kernel with custom "
         "VJP in fwd AND bwd — training.attention: pallas in configs)",
@@ -235,7 +243,7 @@ def main():
 
     model = build(args.wire, args.scores_dtype, args.attention, args.backend)
     if args.decompose:
-        out = decompose(model, args.wire, args.batch, args.steps)
+        out = decompose(model, args.wire, args.batch, args.steps, args.text_len)
         out.update({"metric": "train_step_decomposition", "wire": args.wire,
                     "backend": args.backend, "attention": args.attention,
                     "scores_dtype": args.scores_dtype})
@@ -247,7 +255,8 @@ def main():
     results = []
     for B in sizes:
         sps, spstep = run_once(
-            model, args.wire, B, args.steps, args.accumulator_dtype or None
+            model, args.wire, B, args.steps, args.accumulator_dtype or None,
+            text_len=args.text_len,
         )
         results.append({"batch": B, "samples_per_s": round(sps, 1),
                         "ms_per_step": round(spstep * 1000, 1)})
