@@ -142,6 +142,22 @@ class MultiModalClassifier:
         bs = self.batch_size
         out = np.empty((n, len(self.class_names)), np.float32)
 
+        # Length-sorted visiting order (multi-batch fast-engine jobs only):
+        # tokenizing once up front and walking rows in token-length order
+        # makes each batch length-homogeneous, so forward_batch's per-batch
+        # bucket is the SMALL one for short rows instead of the batch max —
+        # the same trick as evaluate's sorted buckets (+30% on tweet-length
+        # data). Results scatter back to input positions, so callers see
+        # natural order; per-row logits are batch-composition-independent
+        # (every op is row-independent), so this is exact.
+        order = np.arange(n)
+        ids_all = mask_all = None
+        if self._bucket_ladder and n > bs:
+            ids_all, mask_all = self.tokenizer.encode_batch(
+                list(texts), self.max_len
+            )
+            order = np.argsort(mask_all.sum(axis=1), kind="stable")
+
         # Images decode on a thread pool (GIL-free in the native backends)
         # and whole batches are prepared one ahead on a producer thread, so
         # host prep overlaps the device dispatch of the previous batch —
@@ -149,10 +165,14 @@ class MultiModalClassifier:
         pool = cf.ThreadPoolExecutor(max_workers=8)
 
         def build(s: int):
-            ts = texts[s : s + bs]
-            ps = image_paths[s : s + bs]
+            idx = order[s : s + bs]
+            ts = [texts[i] for i in idx]
+            ps = [image_paths[i] for i in idx]
             valid = len(ts)
-            ids, mask = self.tokenizer.encode_batch(ts, self.max_len)
+            if ids_all is not None:
+                ids, mask = ids_all[idx], mask_all[idx]
+            else:
+                ids, mask = self.tokenizer.encode_batch(ts, self.max_len)
             results = list(
                 pool.map(lambda p: self.preproc.load_relative(p, image_root), ps)
             )
@@ -173,7 +193,7 @@ class MultiModalClassifier:
                     )
                     for k, v in batch.items()
                 }
-            return s, valid, batch
+            return idx, valid, batch
 
         q, _END, err, cancel = bounded_producer(
             lambda: (build(s) for s in range(0, n, bs)), size=2
@@ -185,8 +205,8 @@ class MultiModalClassifier:
                     if err:
                         raise err[0]
                     break
-                s, valid, batch = item
-                out[s : s + valid] = self.forward_batch(batch, valid)
+                idx, valid, batch = item
+                out[idx[:valid]] = self.forward_batch(batch, valid)
         finally:
             # On consumer error the producer could be blocked on the full
             # queue — cancel() unblocks + reaps it so the thread, the decode
@@ -210,7 +230,11 @@ class MultiModalClassifier:
                 b = next(
                     (x for x in self._bucket_ladder if x >= L), ids.shape[1]
                 )
-                ids, mask = ids[:, :b], mask[:, :b]
+                if b < ids.shape[1]:
+                    # contiguous copies: strided views can hit slow
+                    # host->device transfer paths on some backends
+                    ids = np.ascontiguousarray(ids[:, :b])
+                    mask = np.ascontiguousarray(mask[:, :b])
             logits = np.asarray(
                 self.engine(
                     ids,

@@ -364,7 +364,9 @@ def test_fast_engine_seq_buckets_exact(trained_run, data_dir):
     _, result = trained_run
     ckpt = result["result"]["best_checkpoint"]
     off = MultiModalClassifier(ckpt, batch_size=4, engine="fast", seq_buckets="off")
-    bkt = MultiModalClassifier(ckpt, batch_size=4, engine="fast", seq_buckets="6")
+    # batch_size=2 < n=4 also engages the length-sorted visiting order in
+    # _logits (scatter-back must restore input order exactly)
+    bkt = MultiModalClassifier(ckpt, batch_size=2, engine="fast", seq_buckets="6")
     assert bkt._bucket_ladder == [6, bkt.max_len]
     texts = ["hate hate hate", "love love love", "", "hate love"]
     paths = [
