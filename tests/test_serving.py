@@ -313,6 +313,30 @@ def test_model_fn_env_engine(trained_run, monkeypatch):
         ) < 1e-3
 
 
+def test_model_fn_env_seq_buckets(trained_run, monkeypatch):
+    """MMHARM_SEQ_BUCKETS (fast engine + CLIP) must install the per-batch
+    bucket ladder and leave the endpoint's probabilities exactly unchanged —
+    truncation past EOS is dead compute (causal text tower + EOS pooling)."""
+    from multimodal_content_moderation_tpu.serving.handler import model_fn
+
+    _, result = trained_run
+    ckpt = result["result"]["best_checkpoint"]
+    monkeypatch.setenv("MMHARM_ENGINE", "fast")
+    monkeypatch.setenv("MMHARM_SEQ_BUCKETS", "6")
+    clf_bkt = model_fn(ckpt)
+    assert clf_bkt._bucket_ladder == [6, clf_bkt.max_len]
+    monkeypatch.setenv("MMHARM_SEQ_BUCKETS", "off")
+    clf_off = model_fn(ckpt)
+    assert clf_off._bucket_ladder is None
+    a = clf_off.predict("hate hate hate")
+    b = clf_bkt.predict("hate hate hate")
+    for name in a["predictions"]:
+        assert abs(
+            a["predictions"][name]["probability"]
+            - b["predictions"][name]["probability"]
+        ) < 1e-6
+
+
 def test_handler_predict_fn_fast_engine(trained_run, data_dir, monkeypatch):
     """The full endpoint path (input_fn -> predict_fn -> output_fn) must work
     and agree with the standard engine when MMHARM_ENGINE=fast."""
