@@ -168,18 +168,15 @@ def main(argv=None):
         from multimodal_content_moderation_tpu.models.fast_infer import (
             FastInferenceEngine,
             evaluate_logits_u8,
+            parse_seq_buckets,
         )
 
         # north-star path: the fast engine runs SPMD over the data axis of
         # the device mesh (single-chip hosts collapse to plain jit)
         engine = FastInferenceEngine(model, params, mean, std, mesh=build_mesh())
-        sb = (args.seq_buckets or "off").strip().lower()
-        if sb == "auto":
-            buckets = (32, 48, 64) if model.backend == "clip" else None
-        elif sb in ("off", "none", ""):
-            buckets = None
-        else:
-            buckets = tuple(int(b) for b in sb.split(","))
+        buckets = parse_seq_buckets(args.seq_buckets)
+        if (args.seq_buckets or "").strip().lower() == "auto" and model.backend != "clip":
+            buckets = None  # default spec, silently inapplicable (SigLIP)
         t0 = time.time()
         logits, labels = evaluate_logits_u8(
             engine, test_ds, args.batch_size, seq_buckets=buckets

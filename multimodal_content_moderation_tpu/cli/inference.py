@@ -13,6 +13,7 @@ last partial batch padded rather than recompiled.
 from __future__ import annotations
 
 import argparse
+import logging
 import os
 import sys
 from typing import Any, Dict, List, Optional
@@ -22,6 +23,8 @@ import numpy as np
 from multimodal_content_moderation_tpu.cli.common import image_stats_from_dir
 from multimodal_content_moderation_tpu.data.images import ImagePreprocessor
 from multimodal_content_moderation_tpu.data.tokenizer import load_tokenizer
+
+logger = logging.getLogger("mmcm.inference")
 
 
 class MultiModalClassifier:
@@ -108,21 +111,32 @@ class MultiModalClassifier:
         # Length-bucket ladder for the fast engine (CLIP only): the text
         # tower is causal and pools the first-EOS hidden state, so truncating
         # ids/mask to any static length >= the batch's last EOS is EXACT —
-        # same argument as evaluate's seq_buckets (models/fast_infer.py).
+        # same argument as evaluate's seq_buckets (models/fast_infer.py,
+        # which owns the spec grammar and ladder/bucket selection).
         # Applied per batch inside forward_batch, so every consumer (predict,
         # predict_batch, the serving handler, the MicroBatcher) benefits.
+        from multimodal_content_moderation_tpu.models.fast_infer import (
+            bucket_ladder,
+            parse_seq_buckets,
+        )
+
         self._bucket_ladder: Optional[List[int]] = None
-        if self.engine is not None and backend == "clip":
-            sb = (seq_buckets or "off").strip().lower()
-            if sb == "auto":
-                ladder = [32, 48, 64]
-            elif sb in ("off", "none", ""):
-                ladder = None
+        buckets = parse_seq_buckets(seq_buckets)
+        if buckets is not None:
+            if self.engine is None or backend != "clip":
+                # 'auto' is the default and silently inapplicable; an
+                # explicit ladder deserves a signal (evaluate raises here)
+                if (seq_buckets or "").strip().lower() != "auto":
+                    logger.warning(
+                        "seq_buckets=%s ignored: requires --engine fast and "
+                        "the CLIP backend (causal + EOS pooling); engine=%s "
+                        "backend=%s",
+                        seq_buckets,
+                        "fast" if self.engine is not None else "standard",
+                        backend,
+                    )
             else:
-                ladder = [int(b) for b in sb.split(",")]
-            if ladder is not None:
-                ladder = sorted({b for b in ladder if 0 < b < self.max_len})
-                self._bucket_ladder = ladder + [self.max_len]
+                self._bucket_ladder = bucket_ladder(buckets, self.max_len)
 
         model = self.model
         self._forward = jax.jit(lambda p, b: model.apply(p, b)["logits"])
@@ -226,10 +240,11 @@ class MultiModalClassifier:
             patches = self.engine.patches_from_hwc(batch["pixel_values"])
             ids, mask = batch["input_ids"], batch["attention_mask"]
             if self._bucket_ladder:
-                L = int(np.asarray(mask).sum(axis=1).max(initial=1))
-                b = next(
-                    (x for x in self._bucket_ladder if x >= L), ids.shape[1]
+                from multimodal_content_moderation_tpu.models.fast_infer import (
+                    bucket_for,
                 )
+
+                b = bucket_for(mask, self._bucket_ladder)
                 if b < ids.shape[1]:
                     # contiguous copies: strided views can hit slow
                     # host->device transfer paths on some backends

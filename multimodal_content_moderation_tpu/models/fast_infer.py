@@ -17,7 +17,7 @@ wire format and kernel impl baked in.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -126,6 +126,39 @@ class FastInferenceEngine:
         )
 
 
+def parse_seq_buckets(spec: Optional[str]) -> Optional[Tuple[int, ...]]:
+    """Parse a ``--seq_buckets`` / ``MMHARM_SEQ_BUCKETS`` value: ``auto`` ->
+    the (32, 48, 64) ladder, ``off``/``none``/empty -> None, otherwise a
+    comma-separated list of widths. Shared by the evaluate/inference CLIs and
+    the serving handler so the spec grammar cannot drift."""
+    sb = (spec or "off").strip().lower()
+    if sb == "auto":
+        return (32, 48, 64)
+    if sb in ("off", "none", ""):
+        return None
+    return tuple(int(b) for b in sb.split(","))
+
+
+def bucket_ladder(
+    buckets: Sequence[int], full_T: int
+) -> Optional[List[int]]:
+    """Sorted, deduplicated ladder of widths below ``full_T`` with ``full_T``
+    appended as the terminal rung — or None when no bucket is below
+    ``full_T`` (bucketing cannot help, callers should skip the machinery)."""
+    ladder = sorted({int(b) for b in buckets if 0 < int(b) < full_T})
+    return ladder + [full_T] if ladder else None
+
+
+def bucket_for(mask, ladder: Sequence[int]) -> int:
+    """Smallest ladder width covering the batch's longest row (the terminal
+    rung is the full width, so this always succeeds)."""
+    L = int(np.asarray(mask).sum(axis=1).max(initial=1))
+    for b in ladder:
+        if b >= L:
+            return b
+    return ladder[-1]
+
+
 def evaluate_logits_u8(
     engine: FastInferenceEngine,
     dataset,
@@ -165,17 +198,10 @@ def evaluate_logits_u8(
                 f"EOS pooling); got backend={engine.model.backend!r} whose "
                 "text padding is not inert"
             )
-        ladder = sorted({int(b) for b in seq_buckets if 0 < int(b) < full_T})
-        ladder.append(full_T)
-        lengths = dataset.attention_mask.sum(axis=1)
-        indices = np.argsort(lengths, kind="stable")
-
-        def bucket_of(mask: np.ndarray) -> int:
-            L = int(mask.sum(axis=1).max(initial=1))
-            for b in ladder:
-                if b >= L:
-                    return b
-            return full_T
+        ladder = bucket_ladder(seq_buckets, full_T)
+        if ladder is not None:
+            lengths = dataset.attention_mask.sum(axis=1)
+            indices = np.argsort(lengths, kind="stable")
 
     # Host batch prep (decode-or-cache-read + u8 patch extraction) runs on a
     # background thread, two batches ahead, so it overlaps the host->device
@@ -193,7 +219,7 @@ def evaluate_logits_u8(
             labels = batch.pop("labels")[:valid]
             patches = engine.patches_from_hwc(batch["pixel_values"])
             if indices is not None:
-                b = bucket_of(batch["attention_mask"])
+                b = bucket_for(batch["attention_mask"], ladder)
                 batch["input_ids"] = batch["input_ids"][:, :b]
                 batch["attention_mask"] = batch["attention_mask"][:, :b]
             yield valid, labels, batch, patches
