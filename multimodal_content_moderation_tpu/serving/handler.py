@@ -94,8 +94,17 @@ def _image_bytes(instance: Dict[str, Any]) -> Optional[bytes]:
     return None
 
 
-def predict_fn(instances: List[Dict[str, Any]], classifier) -> List[Dict[str, Any]]:
-    """Batched prediction over parsed instances."""
+def predict_fn(
+    instances: List[Dict[str, Any]], classifier, device_lock=None
+) -> List[Dict[str, Any]]:
+    """Batched prediction over parsed instances.
+
+    ``device_lock`` (optional) serializes ONLY the device forward: the host
+    stages — base64 decode, JPEG decode (GIL-free in the native backends),
+    tokenize, batch assembly — run outside it, so a threaded server overlaps
+    one request's host prep with another's device dispatch + fetch instead
+    of serializing whole requests (the forward's wait is IO on remote-device
+    hosts, so this pipelines even on a single core)."""
     texts: List[str] = []
     pixel_arrays: List[np.ndarray] = []
     presences: List[float] = []
@@ -132,7 +141,11 @@ def predict_fn(instances: List[Dict[str, Any]], classifier) -> List[Dict[str, An
                 k: np.concatenate([v, np.zeros((pad,) + v.shape[1:], v.dtype)])
                 for k, v in batch.items()
             }
-        logits = classifier.forward_batch(batch, valid)
+        if device_lock is not None:
+            with device_lock:
+                logits = classifier.forward_batch(batch, valid)
+        else:
+            logits = classifier.forward_batch(batch, valid)
         probs = 1.0 / (1.0 + np.exp(-logits))
         for row in probs:
             class_predictions = {

@@ -41,6 +41,8 @@ class _State:
     classifier = None
     lock = threading.Lock()
     batcher = None  # optional cross-request MicroBatcher
+    whole_request_lock = False  # MMHARM_WHOLE_REQUEST_LOCK=1 disables
+    # host-prep/device pipelining (strict FIFO request serialization)
 
 
 class MicroBatcher:
@@ -151,12 +153,19 @@ def _make_request_handler(state: _State):
                     # cross-request micro-batching: concurrent requests'
                     # instances coalesce into one device batch
                     preds = state.batcher(instances)
-                else:
-                    # serialize device access: predict_fn batches internally,
-                    # and one in-flight forward at a time keeps tail latency
-                    # sane on a single chip (JAX dispatch is thread-safe)
+                elif state.whole_request_lock:
+                    # ops fallback (MMHARM_WHOLE_REQUEST_LOCK=1): serialize
+                    # entire requests — strict FIFO, no pipelining
                     with state.lock:
                         preds = h.predict_fn(instances, state.classifier)
+                else:
+                    # the lock serializes ONLY the device forward (one
+                    # in-flight batch keeps tail latency sane on a single
+                    # chip); host prep — base64/JPEG decode, tokenize —
+                    # runs unlocked so concurrent requests pipeline
+                    preds = h.predict_fn(
+                        instances, state.classifier, device_lock=state.lock
+                    )
                 self._send(200, h.output_fn(preds))
             except Exception as e:  # noqa: BLE001 - per-request error capture
                 logger.exception("invocation failed")
@@ -179,10 +188,15 @@ def serve(
 
     state = _State()
     state.classifier = h.model_fn(model_dir, encoder_dir)
+    state.whole_request_lock = os.environ.get(
+        "MMHARM_WHOLE_REQUEST_LOCK", ""
+    ).lower() in ("1", "true", "yes")
     window_ms = float(os.environ.get("MMHARM_MICROBATCH_MS", "0") or 0)
     if window_ms > 0:
         state.batcher = MicroBatcher(
-            lambda insts: h.predict_fn(insts, state.classifier),
+            lambda insts: h.predict_fn(
+                insts, state.classifier, device_lock=state.lock
+            ),
             window_ms=window_ms,
             max_batch=int(os.environ.get("MMHARM_MICROBATCH_MAX", "256")),
         )

@@ -140,6 +140,50 @@ class TestHTTPServer:
                 "any_harmful",
             }
 
+    def test_concurrent_invocations_pipeline_correctly(self, server):
+        """Host prep runs outside the device lock (server.py do_POST /
+        handler.predict_fn device_lock), so concurrent requests pipeline —
+        every response must still match its own sequential answer."""
+        import threading
+        import urllib.request
+
+        def call(text, img):
+            inst = {"text": text}
+            if img is not None:
+                inst["image_base64"] = img
+            req = urllib.request.Request(
+                f"{server}/invocations",
+                data=json.dumps(inst).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())["predictions"][0]["probabilities"]
+
+        cases = [
+            ("hate hate hate", _b64_image(1)),
+            ("love love love", None),
+            ("hate love", _b64_image(2)),
+            ("", _b64_image(3)),
+        ] * 2
+        sequential = [call(t, i) for t, i in cases]
+
+        results = [None] * len(cases)
+
+        def worker(k):
+            results[k] = call(*cases[k])
+
+        threads = [
+            threading.Thread(target=worker, args=(k,)) for k in range(len(cases))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for seq, conc in zip(sequential, results):
+            assert conc is not None
+            for name, p in seq.items():
+                assert conc[name] == pytest.approx(p, abs=1e-6)
+
     def test_bad_json_is_400_not_crash(self, server):
         import urllib.error
         import urllib.request
