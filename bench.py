@@ -242,8 +242,10 @@ def main() -> None:
     id_stage = [
         jax.device_put(make_ids(1000 + k)) for k in range(PASSES * n_batches)
     ]
-    # compile + warmup (scalar fetch = true barrier, see below)
-    _ = float(engine(id_stage[0], mask, patch_stage[0], ones, ones)[0, 0])
+    # compile + warmup with dedicated args (seed 999 is outside the timed
+    # id_stage range): an argument-identical warmup can be served from the
+    # axon dispatch cache and inflate pass 1 (scalar fetch = true barrier)
+    _ = float(engine(jax.device_put(make_ids(999)), mask, patch_stage[0], ones, ones)[0, 0])
 
     # NB: on the tunneled platform only a value fetch truly synchronizes
     # (block_until_ready returns early); device execution is in-order, so
@@ -283,7 +285,11 @@ def main() -> None:
         for k in range(PASSES * n_batches)
     ]
     mask_b = jax.device_put(np.ones((BATCH, BUCKET), np.int32))
-    _ = float(engine(idb_stage[0], mask_b, patch_stage[0], ones, ones)[0, 0])
+    # dedicated warmup args: axon can serve a repeated identical dispatch
+    # from cache, so the warmup must not be argument-identical to any timed
+    # dispatch (idb_stage seeds start at 5000; 4999 is reserved for warmup)
+    idb_warm = jax.device_put(make_ids(4999)[:, :BUCKET])
+    _ = float(engine(idb_warm, mask_b, patch_stage[0], ones, ones)[0, 0])
     rates_b = []
     k = 0
     for _ in range(PASSES):

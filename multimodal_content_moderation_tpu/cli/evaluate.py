@@ -183,6 +183,14 @@ def main(argv=None):
         )
         dt = time.time() - t0
     else:
+        if (args.seq_buckets or "off").strip().lower() not in ("auto", "off", "none", ""):
+            # mirror cli/inference.py: an explicit ladder silently doing
+            # nothing would be a trap, so say so (auto stays quiet — it is
+            # the default spec, simply inapplicable here)
+            print(
+                f"WARNING: seq_buckets={args.seq_buckets} ignored: requires "
+                "--engine fast (standard engine evaluates at full text width)"
+            )
         mesh = build_mesh()
         params = replicate(params, mesh)
         t0 = time.time()

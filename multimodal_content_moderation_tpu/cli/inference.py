@@ -268,6 +268,30 @@ class MultiModalClassifier:
             logits = logit_adjust(logits, self.priors)
         return logits
 
+    def warmup(self) -> int:
+        """Compile (or load from the persistent compile cache) every static
+        shape the serving path can hit — one dummy fixed-shape batch per text
+        width: each seq-bucket ladder rung on the fast+CLIP path, else the
+        single full width. Returns the number of shapes warmed.
+
+        Without this, a fresh container compiles each width lazily on first
+        encounter — multi-second p99 spikes early in its life (the ladder has
+        up to 4 rungs). The serving ``model_fn`` calls this at load time so
+        the cost lands in container startup, where the compile cache
+        (MMHARM_COMPILE_CACHE) amortizes it to a disk read."""
+        widths = list(self._bucket_ladder) if self._bucket_ladder else [self.max_len]
+        zero_pix = self.preproc.zero_output()
+        for w in widths:
+            batch = {
+                "input_ids": np.zeros((self.batch_size, w), np.int32),
+                "attention_mask": np.ones((self.batch_size, w), np.int32),
+                "pixel_values": np.stack([zero_pix] * self.batch_size),
+                "text_present": np.ones((self.batch_size,), np.float32),
+                "image_present": np.ones((self.batch_size,), np.float32),
+            }
+            self.forward_batch(batch, 1)
+        return len(widths)
+
     # -- public API -------------------------------------------------------
 
     def predict(

@@ -136,7 +136,13 @@ def parse_seq_buckets(spec: Optional[str]) -> Optional[Tuple[int, ...]]:
         return (32, 48, 64)
     if sb in ("off", "none", ""):
         return None
-    return tuple(int(b) for b in sb.split(","))
+    try:
+        return tuple(int(b) for b in sb.split(","))
+    except ValueError:
+        raise ValueError(
+            f"invalid seq-buckets spec {spec!r}: expected 'auto', 'off', or a "
+            "comma-separated list of token widths (e.g. '32,48,64')"
+        ) from None
 
 
 def bucket_ladder(

@@ -51,7 +51,7 @@ def model_fn(model_dir: str, encoder_dir: Optional[str] = None):
 
     maybe_enable_from_env()
 
-    return MultiModalClassifier(
+    classifier = MultiModalClassifier(
         model_dir,
         encoder_dir,
         precision=os.environ.get("MMHARM_PRECISION", "fp32"),
@@ -60,6 +60,14 @@ def model_fn(model_dir: str, encoder_dir: Optional[str] = None):
         attention=os.environ.get("MMHARM_ATTENTION", "xla"),
         seq_buckets=os.environ.get("MMHARM_SEQ_BUCKETS", "auto"),
     )
+    if os.environ.get("MMHARM_PREWARM", "1") != "0":
+        # compile every text-width the request path can hit NOW, at load
+        # time, instead of lazily under the device lock on first encounter
+        # (with seq buckets the ladder has up to 4 rungs -> multi-second p99
+        # spikes early in a cold container's life). MMHARM_PREWARM=0 skips.
+        n = classifier.warmup()
+        logger.info("model_fn: pre-warmed %d batch shape(s)", n)
+    return classifier
 
 
 def input_fn(request_body: str, content_type: str = "application/json") -> List[Dict]:

@@ -580,3 +580,18 @@ def test_seq_buckets_rejects_siglip(tmp_path):
     ds = _bucket_dataset(tmp_path, n=8)
     with pytest.raises(ValueError, match="CLIP backend"):
         evaluate_logits_u8(engine, ds, batch_size=8, seq_buckets=(8,))
+
+
+def test_parse_seq_buckets_malformed_spec_message():
+    """A malformed --seq_buckets spec must raise a ValueError that names the
+    expected grammar, not a bare int() traceback (ADVICE r3)."""
+    from multimodal_content_moderation_tpu.models.fast_infer import (
+        parse_seq_buckets,
+    )
+
+    assert parse_seq_buckets("auto") == (32, 48, 64)
+    assert parse_seq_buckets("off") is None
+    assert parse_seq_buckets("16, 24") == (16, 24)
+    for bad in ("32;48", "abc", "32,,48"):
+        with pytest.raises(ValueError, match="comma-separated"):
+            parse_seq_buckets(bad)

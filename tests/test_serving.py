@@ -475,3 +475,25 @@ class TestMicroBatcher:
             t.join(timeout=10)
         assert errs == ["device fell over"] * 3
 
+
+
+def test_model_fn_prewarm(trained_run, monkeypatch):
+    """model_fn pre-compiles every ladder rung at load time (ADVICE r3: lazy
+    per-bucket compiles under the device lock spike early p99); warmup()
+    reports one shape per text width and MMHARM_PREWARM=0 opts out."""
+    from multimodal_content_moderation_tpu.serving.handler import model_fn
+
+    _, result = trained_run
+    ckpt = result["result"]["best_checkpoint"]
+    monkeypatch.setenv("MMHARM_ENGINE", "fast")
+    monkeypatch.setenv("MMHARM_SEQ_BUCKETS", "4,6")
+    clf = model_fn(ckpt)
+    # ladder = [4, 6, max_len]; warmup already ran inside model_fn — calling
+    # it again must hit the jit cache and report the same shape count
+    assert clf.warmup() == len(clf._bucket_ladder) == 3
+
+    monkeypatch.setenv("MMHARM_PREWARM", "0")
+    monkeypatch.setenv("MMHARM_SEQ_BUCKETS", "off")
+    clf2 = model_fn(ckpt)
+    assert clf2._bucket_ladder is None
+    assert clf2.warmup() == 1  # standard width only
