@@ -56,12 +56,12 @@ def parse_args(argv=None):
         "--seq_buckets",
         type=str,
         default="auto",
-        help="length-sorted bucketed evaluation (fast engine, CLIP backend "
-        "only): comma-separated ladder of static text lengths, e.g. "
-        "'32,48,64'; each batch runs at the smallest bucket covering its "
-        "longest row. EXACT for CLIP (causal text tower + EOS pooling — "
-        "padding past EOS is dead compute). 'auto' = 32,48,64 when "
-        "applicable; 'off' disables",
+        help="length-sorted bucketed evaluation (fast engine): comma-"
+        "separated ladder of static text lengths, e.g. '32,48,64'; each "
+        "batch runs at the smallest bucket covering its longest row. EXACT "
+        "for both backends (CLIP: causal + EOS pooling makes truncation "
+        "inert; SigLIP: a carry column holds the pooled last position). "
+        "'auto' = 32,48,64 when applicable; 'off' disables",
     )
     parser.add_argument(
         "--image_backend",
@@ -174,9 +174,9 @@ def main(argv=None):
         # north-star path: the fast engine runs SPMD over the data axis of
         # the device mesh (single-chip hosts collapse to plain jit)
         engine = FastInferenceEngine(model, params, mean, std, mesh=build_mesh())
+        # exact for both backends: CLIP truncates (causal + EOS pooling),
+        # SigLIP carries the pooled last position (fast_infer.bucket_batch_text)
         buckets = parse_seq_buckets(args.seq_buckets)
-        if (args.seq_buckets or "").strip().lower() == "auto" and model.backend != "clip":
-            buckets = None  # default spec, silently inapplicable (SigLIP)
         t0 = time.time()
         logits, labels = evaluate_logits_u8(
             engine, test_ds, args.batch_size, seq_buckets=buckets

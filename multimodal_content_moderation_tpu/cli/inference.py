@@ -45,7 +45,7 @@ class MultiModalClassifier:
         engine: str = "standard",  # "standard" | "fast" (u8 wire + Pallas embed)
         image_backend: str = "pil",  # "pil" | "native" | "native_scaled"
         attention: str = "xla",  # "xla" | "pallas" (fused TPU attention kernels)
-        seq_buckets: str = "auto",  # fast engine + CLIP only; "off" disables
+        seq_buckets: str = "auto",  # fast engine only; "off" disables
     ):
         import jax
 
@@ -108,12 +108,13 @@ class MultiModalClassifier:
         else:
             self.preproc = ImagePreprocessor(H, W, mean, std, backend=image_backend)
 
-        # Length-bucket ladder for the fast engine (CLIP only): the text
-        # tower is causal and pools the first-EOS hidden state, so truncating
-        # ids/mask to any static length >= the batch's last EOS is EXACT —
-        # same argument as evaluate's seq_buckets (models/fast_infer.py,
-        # which owns the spec grammar and ladder/bucket selection).
-        # Applied per batch inside forward_batch, so every consumer (predict,
+        # Length-bucket ladder for the fast engine: each batch's text runs at
+        # the smallest static width covering its rows — EXACT for both
+        # backends (CLIP: causal + first-EOS pooling makes truncation inert;
+        # SigLIP: b-1 real columns + a carry column for the pooled LAST
+        # position, see fast_infer.bucket_batch_text). models/fast_infer.py
+        # owns the spec grammar and ladder/bucket selection. Applied per
+        # batch inside forward_batch, so every consumer (predict,
         # predict_batch, the serving handler, the MicroBatcher) benefits.
         from multimodal_content_moderation_tpu.models.fast_infer import (
             bucket_ladder,
@@ -123,17 +124,14 @@ class MultiModalClassifier:
         self._bucket_ladder: Optional[List[int]] = None
         buckets = parse_seq_buckets(seq_buckets)
         if buckets is not None:
-            if self.engine is None or backend != "clip":
+            if self.engine is None:
                 # 'auto' is the default and silently inapplicable; an
-                # explicit ladder deserves a signal (evaluate raises here)
+                # explicit ladder deserves a signal (evaluate warns too)
                 if (seq_buckets or "").strip().lower() != "auto":
                     logger.warning(
-                        "seq_buckets=%s ignored: requires --engine fast and "
-                        "the CLIP backend (causal + EOS pooling); engine=%s "
-                        "backend=%s",
+                        "seq_buckets=%s ignored: requires --engine fast "
+                        "(the standard engine evaluates at full text width)",
                         seq_buckets,
-                        "fast" if self.engine is not None else "standard",
-                        backend,
                     )
             else:
                 self._bucket_ladder = bucket_ladder(buckets, self.max_len)
@@ -239,17 +237,19 @@ class MultiModalClassifier:
         if self.engine is not None:
             patches = self.engine.patches_from_hwc(batch["pixel_values"])
             ids, mask = batch["input_ids"], batch["attention_mask"]
+            carry = None
             if self._bucket_ladder:
                 from multimodal_content_moderation_tpu.models.fast_infer import (
+                    bucket_batch_text,
                     bucket_for,
                 )
 
-                b = bucket_for(mask, self._bucket_ladder)
-                if b < ids.shape[1]:
-                    # contiguous copies: strided views can hit slow
-                    # host->device transfer paths on some backends
-                    ids = np.ascontiguousarray(ids[:, :b])
-                    mask = np.ascontiguousarray(mask[:, :b])
+                backend = self.config.get("backend", "clip")
+                b = bucket_for(
+                    mask, self._bucket_ladder,
+                    extra=0 if backend == "clip" else 1,
+                )
+                ids, mask, carry = bucket_batch_text(ids, mask, b, backend)
             logits = np.asarray(
                 self.engine(
                     ids,
@@ -257,6 +257,7 @@ class MultiModalClassifier:
                     patches,
                     batch["text_present"],
                     batch["image_present"],
+                    carry_pos=carry,
                 )
             )
         else:
@@ -280,11 +281,16 @@ class MultiModalClassifier:
         the cost lands in container startup, where the compile cache
         (MMHARM_COMPILE_CACHE) amortizes it to a disk read."""
         widths = list(self._bucket_ladder) if self._bucket_ladder else [self.max_len]
+        # SigLIP rungs reserve one carry column (bucket_for extra=1): a row
+        # of w-1 real tokens lands exactly on rung w
+        extra = 0 if self.config.get("backend", "clip") == "clip" else 1
         zero_pix = self.preproc.zero_output()
         for w in widths:
+            mask = np.zeros((self.batch_size, self.max_len), np.int32)
+            mask[:, : max(1, min(w, self.max_len) - extra)] = 1
             batch = {
-                "input_ids": np.zeros((self.batch_size, w), np.int32),
-                "attention_mask": np.ones((self.batch_size, w), np.int32),
+                "input_ids": np.zeros((self.batch_size, self.max_len), np.int32),
+                "attention_mask": mask,
                 "pixel_values": np.stack([zero_pix] * self.batch_size),
                 "text_present": np.ones((self.batch_size,), np.float32),
                 "image_present": np.ones((self.batch_size,), np.float32),
@@ -387,11 +393,11 @@ def parse_args(argv=None):
         "--seq_buckets",
         type=str,
         default="auto",
-        help="length-bucketed text (fast engine + CLIP backend only): each "
-        "batch's input_ids/attention_mask are truncated to the smallest "
-        "bucket covering its longest row — EXACT for CLIP (causal text "
-        "tower + EOS pooling). 'auto' = 32,48,64; 'off' disables; or a "
-        "comma-separated ladder",
+        help="length-bucketed text (fast engine): each batch's input_ids/"
+        "attention_mask are shrunk to the smallest bucket covering its "
+        "longest row — EXACT for both backends (CLIP: causal + EOS pooling; "
+        "SigLIP: carry column for the pooled last position). 'auto' = "
+        "32,48,64; 'off' disables; or a comma-separated ladder",
     )
     parser.add_argument(
         "--device",

@@ -72,19 +72,38 @@ class FastInferenceEngine:
 
         mdl = self.model
 
-        def forward(params, ids, mask, patches_u8, tpres, ipres):
-            batch = {
-                "input_ids": ids,
-                "attention_mask": mask,
-                "patches_u8": patches_u8,
-                "text_present": tpres,
-                "image_present": ipres,
-            }
-            return mdl.apply(params, batch)["logits"].astype(jnp.float32)
+        def make_forward(carry_pos: Optional[int]):
+            def forward(params, ids, mask, patches_u8, tpres, ipres):
+                batch = {
+                    "input_ids": ids,
+                    "attention_mask": mask,
+                    "patches_u8": patches_u8,
+                    "text_present": tpres,
+                    "image_present": ipres,
+                }
+                if carry_pos is not None:
+                    # bucketed SigLIP text: the last column is the carry slot
+                    # (PAD token with mask 0, evaluated at the position the
+                    # UNBUCKETED run pools — full_width-1, which callers pass
+                    # as carry_pos) — see siglip_text_features' docstring for
+                    # the exactness argument. Positions are a static function
+                    # of (width, carry_pos), so this stays a compile-time
+                    # constant in the HLO.
+                    T = ids.shape[1]
+                    batch["position_ids"] = jnp.concatenate(
+                        [
+                            jnp.arange(T - 1, dtype=jnp.int32),
+                            jnp.full((1,), carry_pos, jnp.int32),
+                        ]
+                    )
+                return mdl.apply(params, batch)["logits"].astype(jnp.float32)
+
+            return forward
 
         self.mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
+        self._forwards = {}
         if self.mesh is None:
-            self._forward = jax.jit(forward)
+            self._jit_forward = lambda carry: jax.jit(make_forward(carry))
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -93,35 +112,59 @@ class FastInferenceEngine:
             self._data_size = self.mesh.shape[DATA_AXIS]
             data = NamedSharding(self.mesh, P(DATA_AXIS))
             repl = NamedSharding(self.mesh, P())
-            spmd = jax.shard_map(
-                forward,
-                mesh=self.mesh,
-                in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                          P(DATA_AXIS), P(DATA_AXIS)),
-                out_specs=P(DATA_AXIS),
-                # no cross-shard collectives in the eval forward; skip the
-                # varying-manner analysis (Pallas calls are opaque to it)
-                check_vma=False,
-            )
-            self._forward = jax.jit(
-                spmd,
-                in_shardings=(repl, data, data, data, data, data),
-                out_shardings=data,
-            )
+
+            def jit_spmd(carry: bool):
+                spmd = jax.shard_map(
+                    make_forward(carry),
+                    mesh=self.mesh,
+                    in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                              P(DATA_AXIS), P(DATA_AXIS)),
+                    out_specs=P(DATA_AXIS),
+                    # no cross-shard collectives in the eval forward; skip the
+                    # varying-manner analysis (Pallas calls are opaque to it)
+                    check_vma=False,
+                )
+                return jax.jit(
+                    spmd,
+                    in_shardings=(repl, data, data, data, data, data),
+                    out_shardings=data,
+                )
+
+            self._jit_forward = jit_spmd
             self.params = jax.device_put(params, repl)
 
     def patches_from_hwc(self, images_hwc: np.ndarray) -> np.ndarray:
         """[B, H, W, C] uint8 crops -> wire-format patch rows."""
         return extract_patches_u8(images_hwc, self.patch_size)
 
-    def __call__(self, ids, mask, patches_u8, text_present, image_present):
+    @property
+    def _forward(self):
+        """The plain (no-carry) jitted forward (kept for tools that time it
+        directly, e.g. tools/bench_eval.py --decompose)."""
+        return self._get_forward(None)
+
+    def _get_forward(self, carry_pos: Optional[int]):
+        fwd = self._forwards.get(carry_pos)
+        if fwd is None:
+            fwd = self._forwards[carry_pos] = self._jit_forward(carry_pos)
+        return fwd
+
+    def __call__(
+        self, ids, mask, patches_u8, text_present, image_present,
+        carry_pos: Optional[int] = None,
+    ):
+        """``carry_pos`` (int) marks the last ids/mask column as the SigLIP
+        bucket carry slot: a PAD token evaluated at position ``carry_pos`` —
+        the position the unbucketed run pools, i.e. full_text_width - 1.
+        Only the bucketed eval/serving paths set it (bucket_batch_text
+        returns it)."""
         if self.mesh is not None and ids.shape[0] % self._data_size:
             raise ValueError(
                 f"batch size {ids.shape[0]} not divisible by the data axis "
                 f"({self._data_size}); pick batch_size as a multiple (the "
                 "eval loop pads the last batch, so any full batch works)"
             )
-        return self._forward(
+        return self._get_forward(carry_pos)(
             self.params, ids, mask, patches_u8, text_present, image_present
         )
 
@@ -155,14 +198,46 @@ def bucket_ladder(
     return ladder + [full_T] if ladder else None
 
 
-def bucket_for(mask, ladder: Sequence[int]) -> int:
-    """Smallest ladder width covering the batch's longest row (the terminal
-    rung is the full width, so this always succeeds)."""
-    L = int(np.asarray(mask).sum(axis=1).max(initial=1))
+def bucket_for(mask, ladder: Sequence[int], extra: int = 0) -> int:
+    """Smallest ladder width covering the batch's longest row plus ``extra``
+    reserved columns (the terminal rung is the full width, so this always
+    succeeds). SigLIP bucketing passes ``extra=1`` for its carry slot."""
+    L = int(np.asarray(mask).sum(axis=1).max(initial=1)) + extra
     for b in ladder:
         if b >= L:
             return b
     return ladder[-1]
+
+
+def bucket_batch_text(
+    ids: np.ndarray, mask: np.ndarray, b: int, backend: str
+) -> Tuple[np.ndarray, np.ndarray, Optional[int]]:
+    """Shrink a right-padded [B, T] ids/mask pair to bucket width ``b``;
+    returns (ids_b, mask_b, carry_pos) where carry_pos is None (no carry
+    slot) or the position id of the carry column (T-1, the position the
+    unbucketed run pools).
+
+    CLIP: plain truncation (causal text tower + first-EOS pooling makes
+    columns past every row's EOS dead compute). SigLIP: b-1 real columns
+    plus a carry column — the row's LAST column (always PAD, since
+    ``bucket_for(extra=1)`` guarantees every row fits in b-1) with mask 0,
+    evaluated at position T-1 via ``carry_pos`` (the model pools the last
+    column; masked keys are inert at any width, so this is exact — see
+    siglip_text_features). Contiguous copies: strided views can hit slow
+    host->device transfer paths on some backends."""
+    if b >= ids.shape[1]:
+        return ids, mask, None
+    if backend == "clip":
+        return (
+            np.ascontiguousarray(ids[:, :b]),
+            np.ascontiguousarray(mask[:, :b]),
+            None,
+        )
+    ids_b = np.concatenate([ids[:, : b - 1], ids[:, -1:]], axis=1)
+    mask_b = np.concatenate(
+        [mask[:, : b - 1], np.zeros((mask.shape[0], 1), mask.dtype)], axis=1
+    )
+    return ids_b, mask_b, ids.shape[1] - 1
 
 
 def evaluate_logits_u8(
@@ -180,30 +255,31 @@ def evaluate_logits_u8(
     uses (its evaluate loop includes the DataLoader,
     scripts/evaluate.py:163-183).
 
-    ``seq_buckets`` (CLIP backend only) enables length-sorted bucketed
-    evaluation: rows are visited in token-length order and each batch's
-    ``input_ids``/``attention_mask`` are truncated to the smallest bucket
-    covering its longest row. For CLIP this is EXACT, not approximate — the
-    text tower is causal and pools the first-EOS hidden state
-    (models/clip.py:clip_text_pooled), so positions past a row's EOS cannot
-    influence its pooled feature; dropping padding columns removes dead
-    compute the reference always pays (it pads every row to 77,
-    scripts/inference.py:168-180). Each bucket is one extra XLA compile
-    (static shapes; the persistent compile cache absorbs repeats). SigLIP is
-    rejected: its HF text tower is bidirectional and runs WITHOUT a padding
-    mask, so padding columns do feed the pooled feature there.
+    ``seq_buckets`` enables length-sorted bucketed evaluation: rows are
+    visited in token-length order and each batch's
+    ``input_ids``/``attention_mask`` are shrunk to the smallest bucket
+    covering its longest row. EXACT for both backends, not approximate:
+
+    - CLIP: the text tower is causal and pools the first-EOS hidden state
+      (models/clip.py:clip_text_pooled), so positions past a row's EOS
+      cannot influence its pooled feature — plain truncation.
+    - SigLIP: bidirectional but masked — every PAD key carries exactly-zero
+      attention weight, and the pooled LAST position (a PAD on right-padded
+      input) is itself a masked key, so a bucket keeps b-1 real columns plus
+      one carry column holding the PAD token at the encoder's final position
+      (``bucket_batch_text`` / ``carry_last``).
+
+    Dropping padding columns removes dead compute the reference always pays
+    (it pads every row to the full context, scripts/inference.py:168-180).
+    Each bucket is one extra XLA compile (static shapes; the persistent
+    compile cache absorbs repeats).
     """
     from multimodal_content_moderation_tpu.data.pipeline import bounded_producer
 
     indices = None
+    backend = engine.model.backend
     full_T = dataset.input_ids.shape[1]
     if seq_buckets:
-        if engine.model.backend != "clip":
-            raise ValueError(
-                "seq_buckets requires the CLIP backend (causal text tower + "
-                f"EOS pooling); got backend={engine.model.backend!r} whose "
-                "text padding is not inert"
-            )
         ladder = bucket_ladder(seq_buckets, full_T)
         if ladder is not None:
             lengths = dataset.attention_mask.sum(axis=1)
@@ -224,11 +300,17 @@ def evaluate_logits_u8(
             valid = int(batch.pop("_valid"))
             labels = batch.pop("labels")[:valid]
             patches = engine.patches_from_hwc(batch["pixel_values"])
+            carry = None
             if indices is not None:
-                b = bucket_for(batch["attention_mask"], ladder)
-                batch["input_ids"] = batch["input_ids"][:, :b]
-                batch["attention_mask"] = batch["attention_mask"][:, :b]
-            yield valid, labels, batch, patches
+                b = bucket_for(
+                    batch["attention_mask"], ladder,
+                    extra=0 if backend == "clip" else 1,
+                )
+                ids_b, mask_b, carry = bucket_batch_text(
+                    batch["input_ids"], batch["attention_mask"], b, backend
+                )
+                batch["input_ids"], batch["attention_mask"] = ids_b, mask_b
+            yield valid, labels, batch, patches, carry
 
     q, _END, err, cancel = bounded_producer(prep, size=2)
 
@@ -240,7 +322,7 @@ def evaluate_logits_u8(
                 if err:
                     raise err[0]
                 break
-            valid, labels, batch, patches = item
+            valid, labels, batch, patches, carry = item
             valids.append(valid)
             all_labels.append(labels)
             outs.append(
@@ -250,6 +332,7 @@ def evaluate_logits_u8(
                     patches,
                     batch["text_present"],
                     batch["image_present"],
+                    carry_pos=carry,
                 )
             )
             if len(outs) > 2:

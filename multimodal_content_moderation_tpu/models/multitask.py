@@ -245,7 +245,8 @@ class MultiTaskModel:
                 )
         else:
             t = siglip_mod.siglip_text_features(
-                bp, batch["input_ids"], batch.get("attention_mask"), self.siglip_config
+                bp, batch["input_ids"], batch.get("attention_mask"), self.siglip_config,
+                position_ids=batch.get("position_ids"),
             )
             if u8 is not None:
                 v = siglip_mod.siglip_image_features_from_tokens(

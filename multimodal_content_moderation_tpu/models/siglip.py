@@ -164,12 +164,30 @@ def siglip_text_features(
     input_ids: jnp.ndarray,
     attention_mask: Optional[jnp.ndarray],
     cfg: SigLIPConfig,
+    position_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """= HF ``SiglipModel.get_text_features``: last-position pooling + head."""
+    """= HF ``SiglipModel.get_text_features``: last-position pooling + head.
+
+    ``position_ids`` ([T] int32, default ``arange(T)``) exists for the exact
+    length-bucketed eval path: SigLIP pools the LAST column — on right-padded
+    masked input (the reference builds ``(ids != pad) `` masks,
+    /root/reference/src/data/dataset.py:157-164) a PAD token whose keys are
+    masked everywhere — so a row of length L computes EXACTLY at width
+    b>=L+1 by keeping b-1 real columns plus a carry column holding the PAD
+    token with the full width's last position embedding and mask 0 (see
+    models/fast_infer.py bucket_batch_text). Masked keys contribute
+    exactly-zero attention weight at any width, and per-position ops have no
+    cross-talk, so the carry column's trajectory equals the full-width last
+    position's."""
     t = cfg.text
     p = params["text_model"]
     T = input_ids.shape[1]
-    x = p["token_embedding"][input_ids] + p["position_embedding"][:T]
+    pos = (
+        p["position_embedding"][:T]
+        if position_ids is None
+        else p["position_embedding"][position_ids]
+    )
+    x = p["token_embedding"][input_ids] + pos
     x = x.astype(t.compute_dtype)
     mask, key_mask = None, None
     if attention_mask is not None:

@@ -36,10 +36,11 @@ def model_fn(model_dir: str, encoder_dir: Optional[str] = None):
     MMHARM_IMAGE_BACKEND in {pil, native, native_scaled} picks the JPEG
     decode path (native_* = fused C++ libjpeg, GIL-free), and
     MMHARM_ATTENTION in {xla, pallas} picks the attention core (pallas =
-    fused TPU kernels), MMHARM_SEQ_BUCKETS (fast engine + CLIP only; default
-    'auto' = 32,48,64, 'off' disables) runs each batch's text at the
-    smallest static bucket covering its longest row — exact for CLIP
-    (causal + EOS pooling), and MMHARM_COMPILE_CACHE=<dir|1> persists XLA
+    fused TPU kernels), MMHARM_SEQ_BUCKETS (fast engine; default 'auto' =
+    32,48,64, 'off' disables) runs each batch's text at the smallest static
+    bucket covering its longest row — exact for both backends (CLIP: causal
+    + EOS pooling; SigLIP: carry column for the pooled last position), and
+    MMHARM_COMPILE_CACHE=<dir|1> persists XLA
     executables across container restarts (utils/compile_cache — turns the
     ~20-40 s first-jit cold start into a disk read)."""
     import os

@@ -116,6 +116,28 @@ def test_siglip_fusion_end_to_end(siglip_encoder_dir, data_dir, tmp_path):
     r = clf.predict("hate the thing", None)
     assert len(r["predictions"]) == 5
 
+    # fast-engine evaluate with SigLIP seq buckets (carry-column path) must
+    # reproduce the unbucketed fast-engine results exactly through the REAL
+    # CLI surface (per-class probabilities land in eval_results.json)
+    from multimodal_content_moderation_tpu.cli import evaluate as eval_cli
+
+    ckpt = result["result"]["best_checkpoint"]
+    common = [
+        "--checkpoint", ckpt,
+        "--test_csv", f"{data_dir}/test.csv",
+        "--image_root", f"{data_dir}/images",
+        "--batch_size", "8",
+        "--engine", "fast",
+    ]
+    m_off = eval_cli.main(
+        common + ["--seq_buckets", "off", "--output", str(tmp_path / "off.json")]
+    )
+    m_b = eval_cli.main(
+        common + ["--seq_buckets", "6,8", "--output", str(tmp_path / "b.json")]
+    )
+    assert m_b["f1_macro"] == pytest.approx(m_off["f1_macro"], abs=1e-9)
+    assert m_b["roc_auc_macro"] == pytest.approx(m_off["roc_auc_macro"], abs=1e-7)
+
 
 def test_siglip_backbone_weights_loaded_not_random(siglip_encoder_dir):
     """init_from_encoder_dir must convert the HF SigLIP weights."""

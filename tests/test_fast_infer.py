@@ -550,12 +550,7 @@ def test_evaluate_logits_u8_seq_buckets_on_mesh(tmp_path):
     np.testing.assert_allclose(lg, lg_ref, atol=1e-5, rtol=1e-5)
 
 
-def test_seq_buckets_rejects_siglip(tmp_path):
-    """SigLIP's bidirectional unmasked text tower makes truncation lossy —
-    the eval loop must refuse rather than silently change logits."""
-    from multimodal_content_moderation_tpu.models.fast_infer import (
-        evaluate_logits_u8,
-    )
+def _tiny_siglip_fusion(max_positions=16, seed=6):
     from multimodal_content_moderation_tpu.models.siglip import (
         SigLIPConfig,
         SigLIPTextConfig,
@@ -564,8 +559,9 @@ def test_seq_buckets_rejects_siglip(tmp_path):
 
     cfg = SigLIPConfig(
         text=SigLIPTextConfig(
-            vocab_size=64, hidden_size=32, num_layers=1, num_heads=2,
-            intermediate_size=64, max_positions=12, projection_size=32,
+            vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, max_positions=max_positions,
+            projection_size=32,
         ),
         vision=SigLIPVisionConfig(
             hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
@@ -573,13 +569,66 @@ def test_seq_buckets_rejects_siglip(tmp_path):
         ),
     )
     model = FusionModel.create("siglip", num_labels=3, fusion_dim=8, siglip_config=cfg)
-    params = model.init(jax.random.key(6))
+    return model, model.init(jax.random.key(seed)), cfg
+
+
+def test_siglip_text_carry_column_exact():
+    """The SigLIP bucket trick at the feature level: b-1 real columns plus a
+    PAD carry column at the full width's LAST position (mask 0) reproduces
+    the full-width pooled text feature bit-for-bit — masked keys carry
+    exactly-zero attention weight and per-position ops have no cross-talk."""
+    from multimodal_content_moderation_tpu.models.fast_infer import (
+        bucket_batch_text,
+    )
+    from multimodal_content_moderation_tpu.models.siglip import (
+        siglip_text_features,
+    )
+
+    _, params, cfg = _tiny_siglip_fusion(max_positions=16)
+    bp = params["backbone"]
+
+    g = np.random.default_rng(8)
+    B, T = 4, 12  # T < max_positions: the carry must use position T-1
+    ids = np.zeros((B, T), np.int32)  # PAD id 0 everywhere past the row
+    mask = np.zeros((B, T), np.int32)
+    for i, n in enumerate([3, 5, 6, 7]):
+        ids[i, :n] = g.integers(1, 63, size=n)
+        mask[i, :n] = 1
+
+    full = np.asarray(siglip_text_features(bp, ids, mask, cfg))
+
+    b = 8  # covers max length 7 plus the carry column
+    ids_b, mask_b, carry_pos = bucket_batch_text(ids, mask, b, "siglip")
+    assert carry_pos == T - 1
+    assert ids_b.shape == (B, b) and mask_b[:, -1].sum() == 0
+    position_ids = np.concatenate(
+        [np.arange(b - 1, dtype=np.int32), np.array([carry_pos], np.int32)]
+    )
+    cut = np.asarray(
+        siglip_text_features(bp, ids_b, mask_b, cfg, position_ids=position_ids)
+    )
+    np.testing.assert_allclose(cut, full, atol=1e-6, rtol=1e-6)
+
+
+def test_evaluate_logits_u8_seq_buckets_siglip_exact(tmp_path):
+    """Bucketed SigLIP eval == unbucketed eval end-to-end (carry column +
+    position override through the engine, rows back in natural order)."""
+    from multimodal_content_moderation_tpu.models.fast_infer import (
+        evaluate_logits_u8,
+    )
+
+    ds = _bucket_dataset(tmp_path)  # 12-wide text, lengths 3..11
+    model, params, _ = _tiny_siglip_fusion(max_positions=16)
     engine = FastInferenceEngine(
         model, params, SIGLIP_MEAN, SIGLIP_STD, use_pallas=False
     )
-    ds = _bucket_dataset(tmp_path, n=8)
-    with pytest.raises(ValueError, match="CLIP backend"):
-        evaluate_logits_u8(engine, ds, batch_size=8, seq_buckets=(8,))
+
+    lg_ref, lb_ref = evaluate_logits_u8(engine, ds, batch_size=8, num_workers=2)
+    lg, lb = evaluate_logits_u8(
+        engine, ds, batch_size=8, num_workers=2, seq_buckets=(6, 8)
+    )
+    np.testing.assert_array_equal(lb, lb_ref)
+    np.testing.assert_allclose(lg, lg_ref, atol=1e-5, rtol=1e-5)
 
 
 def test_parse_seq_buckets_malformed_spec_message():

@@ -50,6 +50,20 @@ def main():
         "--text_attention", choices=["xla", "pallas"], default="xla",
         help="attention core for the text tower",
     )
+    ap.add_argument(
+        "--decompose", action="store_true",
+        help="also time the text tower, vision tower, and pooling head as "
+        "separate jits at --batch (per-batch ms + effective TFLOPS)",
+    )
+    ap.add_argument(
+        "--bucket", type=int, default=0,
+        help="time the seq-bucketed device path at this static text width "
+        "(tweet-length rows; the evaluate CLI's --seq_buckets auto "
+        "production default). EXACT for both backends: CLIP truncates "
+        "(causal + EOS pooling), SigLIP keeps bucket-1 real columns plus a "
+        "carry column at the full width's last position "
+        "(models/fast_infer.bucket_batch_text)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -94,7 +108,17 @@ def main():
         n_batches = -(-args.n_samples // B)
         n_samples = n_batches * B
         g = np.random.default_rng(0)
-        mask = jax.device_put(np.ones((B, seq), np.int32))
+        T = args.bucket if args.bucket and args.bucket < seq else seq
+        carry = None
+        if T < seq and args.backend != "clip":
+            # SigLIP bucket layout: T-1 real columns + a PAD carry column
+            # evaluated at the full width's last position (exact — see
+            # models/fast_infer.bucket_batch_text)
+            carry = seq - 1
+        mask_np = np.ones((B, T), np.int32)
+        if carry is not None:
+            mask_np[:, -1] = 0
+        mask = jax.device_put(mask_np)
         ones = jax.device_put(np.ones((B,), np.float32))
         patch_stage = [
             jax.device_put(
@@ -107,30 +131,134 @@ def main():
 
         def make_ids(seed):
             gg = np.random.default_rng(seed)
-            ids = gg.integers(1, vocab - 2, size=(B, seq)).astype(np.int32)
-            ids[:, seq // 2] = eos
+            ids = gg.integers(1, vocab - 2, size=(B, T)).astype(np.int32)
+            ids[:, T // 2] = eos
+            if carry is not None:
+                ids[:, -1] = 0  # PAD in the carry slot
             return ids
 
         id_stage = [
             jax.device_put(make_ids(1000 + k))
             for k in range(args.passes * n_batches)
         ]
-        _ = float(engine(id_stage[0], mask, patch_stage[0], ones, ones)[0, 0])
+        # dedicated warmup args (seed 999): axon can serve a repeated
+        # argument-identical dispatch from cache, inflating pass 1
+        warm = jax.device_put(make_ids(999))
+        _ = float(engine(warm, mask, patch_stage[0], ones, ones, carry_pos=carry)[0, 0])
 
         best, k = 0.0, 0
         for _ in range(args.passes):
             t0 = time.perf_counter()
             out = None
             for i in range(n_batches):
-                out = engine(id_stage[k], mask, patch_stage[i % 4], ones, ones)
+                out = engine(
+                    id_stage[k], mask, patch_stage[i % 4], ones, ones,
+                    carry_pos=carry,
+                )
                 k += 1
             _ = float(out[0, 0])  # value fetch = true barrier (axon)
             best = max(best, n_samples / (time.perf_counter() - t0))
         return best
 
+    def time_fn(fn, stages, n_iters=40):
+        """Median per-dispatch seconds for jitted fn over staged varying args
+        (value fetch on the last output = the only true barrier on axon)."""
+        fn = jax.jit(fn)
+        _ = float(np.asarray(fn(*stages[0])).ravel()[0])
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for i in range(n_iters):
+                out = fn(*stages[i % len(stages)])
+            _ = float(np.asarray(out).ravel()[0])
+            times.append((time.perf_counter() - t0) / n_iters)
+        return float(np.median(times))
+
+    def decompose(B: int) -> dict:
+        """Per-tower timing at batch B: where does the eval millisecond go?"""
+        from multimodal_content_moderation_tpu.models import siglip as sig
+        from multimodal_content_moderation_tpu.models import clip as clip_mod
+
+        mdl = engine.model
+        bp = jax.device_put(engine.params["backbone"])
+        g = np.random.default_rng(7)
+        n_stage = 4
+        ids_st = [
+            (
+                jax.device_put(
+                    g.integers(1, vocab - 2, size=(B, seq)).astype(np.int32)
+                ),
+                jax.device_put(np.ones((B, seq), np.int32)),
+            )
+            for _ in range(n_stage)
+        ]
+        patch_st = [
+            jax.device_put(
+                engine.patches_from_hwc(
+                    g.integers(0, 256, size=(B, img, img, 3), dtype=np.uint8)
+                )
+            )
+            for _ in range(n_stage)
+        ]
+
+        if args.backend == "siglip":
+            scfg = mdl.siglip_config
+            text_fn = lambda ids, m: sig.siglip_text_features(bp, ids, m, scfg)
+            vis_fn = lambda p: sig.siglip_image_features_from_tokens(
+                bp, mdl._embed_u8(bp, p), scfg
+            )
+            n_pat = (scfg.vision.image_size // scfg.vision.patch_size) ** 2
+            D = scfg.vision.hidden_size
+            hid_st = [
+                jax.device_put(
+                    g.standard_normal((B, n_pat, D)).astype(np.float32) / 30
+                )
+                for _ in range(n_stage)
+            ]
+            pool_fn = lambda h: sig._map_head(
+                h.astype(scfg.vision.compute_dtype),
+                bp["vision_model"]["map_head"],
+                scfg.vision,
+            )
+        else:
+            ccfg = mdl.clip_config
+            text_fn = lambda ids, m: clip_mod.clip_text_features(bp, ids, m, ccfg)
+            vis_fn = lambda p: clip_mod.clip_image_features_from_tokens(
+                bp, mdl._embed_u8(bp, p), ccfg
+            )
+            pool_fn, hid_st = None, None
+
+        full_fn = lambda ids, m, p, t, i: engine._forward(
+            engine.params, ids, m, p, t, i
+        )
+        ones = jax.device_put(np.ones((B,), np.float32))
+        t_text = time_fn(text_fn, ids_st)
+        t_vis = time_fn(vis_fn, [(p,) for p in patch_st])
+        t_full = time_fn(
+            lambda ids, m, p: full_fn(ids, m, p, ones, ones),
+            [(a, b, p) for (a, b), p in zip(ids_st, patch_st)],
+        )
+        out = {
+            "batch": B,
+            "text_ms_per_batch": round(t_text * 1e3, 2),
+            "vision_ms_per_batch": round(t_vis * 1e3, 2),
+            "full_ms_per_batch": round(t_full * 1e3, 2),
+            "full_samples_per_s": round(B / t_full, 1),
+        }
+        if pool_fn is not None:
+            out["map_head_ms_per_batch"] = round(time_fn(pool_fn, [(h,) for h in hid_st]) * 1e3, 2)
+        return out
+
     sizes = (
         [int(s) for s in args.sweep.split(",") if s] if args.sweep else [args.batch]
     )
+    if args.decompose:
+        print(json.dumps({"decomposition": decompose(args.batch),
+                          "backend": args.backend,
+                          "attention": {"text": args.text_attention,
+                                        "vision": args.vision_attention}}))
+        return
     results = [{"batch": B, "samples_per_s": round(run_b(B), 1)} for B in sizes]
     top = max(results, key=lambda r: r["samples_per_s"])
 
@@ -142,6 +270,7 @@ def main():
                 "value": top["samples_per_s"],
                 "unit": "samples/s",
                 "batch": top["batch"],
+                "bucket": args.bucket or None,
                 "vs_baseline": (
                     round(top["samples_per_s"] / baseline, 2) if baseline else None
                 ),
