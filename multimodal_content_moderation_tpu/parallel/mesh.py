@@ -47,6 +47,28 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put_global(x: Any, s: NamedSharding) -> jax.Array:
+    """``device_put`` that also works when ``s`` spans devices owned by
+    OTHER processes (``jax.device_put`` only accepts fully-addressable
+    shardings). Every process must hold the same full host value ``x``
+    (replicated params / opt state / restored checkpoints); each process
+    contributes its addressable shards by slicing its local copy. Typed PRNG
+    keys are unwrapped to their uint32 data and re-wrapped, since
+    ``make_array_from_callback`` is raw-dtype only."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, s)
+    import jax.numpy as jnp
+
+    dt = getattr(x, "dtype", None)
+    if dt is not None and jnp.issubdtype(dt, jax.dtypes.prng_key):
+        impl = jax.random.key_impl(x)
+        data = np.asarray(jax.random.key_data(x))
+        g = jax.make_array_from_callback(data.shape, s, lambda idx: data[idx])
+        return jax.random.wrap_key_data(g, impl=impl)
+    data = np.asarray(x)
+    return jax.make_array_from_callback(data.shape, s, lambda idx: data[idx])
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Place a host batch on the mesh, sharded over the data axis.
 
@@ -72,7 +94,7 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     def place(x):
         x = np.asarray(x)
         if x.ndim < 1:
-            return jax.device_put(x, repl)
+            return _put_global(x, repl)
         if multihost:
             return jax.make_array_from_process_local_data(data, x)
         return jax.device_put(x, data)
@@ -88,6 +110,8 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
         dev = mesh.devices.reshape(-1)[0]
         return jax.device_put(tree, dev)
     repl = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(lambda x: _put_global(x, repl), tree)
     return jax.device_put(tree, repl)
 
 
@@ -108,8 +132,8 @@ def place_like(tree: Any, template: Any, mesh: Mesh) -> Any:
     def place(x, t):
         s = getattr(t, "sharding", None)
         if isinstance(s, NamedSharding) and s.mesh == mesh:
-            return jax.device_put(x, s)
-        return jax.device_put(x, repl)
+            return _put_global(x, s)
+        return _put_global(x, repl)
 
     return jax.tree_util.tree_map(place, tree, template)
 

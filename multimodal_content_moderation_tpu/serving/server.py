@@ -59,13 +59,27 @@ class MicroBatcher:
     added latency (a few ms); under high concurrency device batches grow and
     per-sample cost drops toward the offline rate.
 
-    Enable with MMHARM_MICROBATCH_MS>0 (mmharm-serve env knob).
+    Adaptive routing: a request already carrying ``bypass_n`` or more
+    instances gains nothing from coalescing — it IS a device batch — and
+    measured end-to-end the window + worker hop costs batch traffic ~20%
+    (145.5 -> 117.2 samples/s, tools/bench_serving.py). Such requests skip
+    the queue and run directly on the calling thread (still serialized at
+    the device by the shared lock inside ``predict``), so small-request
+    coalescing and full-batch throughput coexist under mixed traffic.
+
+    Enable with MMHARM_MICROBATCH_MS>0 (mmharm-serve env knob);
+    MMHARM_MICROBATCH_BYPASS sets the bypass threshold (default 16, 0
+    disables bypassing).
     """
 
-    def __init__(self, predict, window_ms: float = 4.0, max_batch: int = 256):
+    def __init__(
+        self, predict, window_ms: float = 4.0, max_batch: int = 256,
+        bypass_n: int = 16,
+    ):
         self._predict = predict
         self._window_s = window_ms / 1000.0
         self._max_batch = max_batch
+        self._bypass_n = bypass_n
         self._cv = threading.Condition()
         self._pending: list = []  # (instances, slot) tuples
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -95,6 +109,10 @@ class MicroBatcher:
                 s["done"].set()
 
     def __call__(self, instances):
+        if self._bypass_n and len(instances) >= self._bypass_n:
+            # already a device batch: coalescing only adds window latency
+            # and a worker hop — run it here (device lock inside predict)
+            return self._predict(instances)
         slot = {"done": threading.Event(), "out": None, "err": None}
         with self._cv:
             self._pending.append((instances, slot))
@@ -199,6 +217,7 @@ def serve(
             ),
             window_ms=window_ms,
             max_batch=int(os.environ.get("MMHARM_MICROBATCH_MAX", "256")),
+            bypass_n=int(os.environ.get("MMHARM_MICROBATCH_BYPASS", "16")),
         )
         logger.info("cross-request micro-batching on (window %.1f ms)", window_ms)
     server = ThreadingHTTPServer((host, port), _make_request_handler(state))

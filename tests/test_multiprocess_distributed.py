@@ -39,9 +39,9 @@ print("TOTAL", float(total), flush=True)
 """
 
 
-def test_two_process_global_batch_assembly(tmp_path):
+def _spawn_workers(tmp_path, source, n=2, timeout=300):
     script = tmp_path / "worker.py"
-    script.write_text(WORKER)
+    script.write_text(source)
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -58,13 +58,135 @@ def test_two_process_global_batch_assembly(tmp_path):
             env=env,
             text=True,
         )
-        for i in range(2)
+        for i in range(n)
     ]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
+    return outs
+
+
+def test_two_process_global_batch_assembly(tmp_path):
+    outs = _spawn_workers(tmp_path, WORKER)
     # sum(0..7) + sum(100..107) = 28 + 828 = 856
     for out in outs:
         totals = [l for l in out.splitlines() if l.startswith("TOTAL")]
         assert totals, out
         assert float(totals[0].split()[1]) == 856.0, out
+
+
+# ---------------------------------------------------------------------------
+# Multi-process TRAIN STEP (VERDICT r3 #5): the real production train step
+# (make_train_step: value_and_grad + optax update, donated buffers) run by
+# two OS processes over a global 8-device mesh must produce the same loss
+# trajectory as the single-process 8-device run on the same global batches.
+# ---------------------------------------------------------------------------
+
+_TRAIN_COMMON = r"""
+import numpy as np
+
+
+def tiny_model_and_batches():
+    import jax
+    from multimodal_content_moderation_tpu.models import CLIPConfig, FusionModel
+    from multimodal_content_moderation_tpu.models.clip import (
+        CLIPTextConfig, CLIPVisionConfig,
+    )
+
+    cfg = CLIPConfig(
+        text=CLIPTextConfig(
+            vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, max_positions=12, eos_token_id=63,
+        ),
+        vision=CLIPVisionConfig(
+            hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,
+            image_size=32, patch_size=16,
+        ),
+        projection_dim=32,
+    )
+    model = FusionModel.create("clip", num_labels=3, fusion_dim=16, clip_config=cfg)
+    params = model.init(jax.random.key(0))
+
+    def global_batch(step):
+        g = np.random.default_rng(1000 + step)
+        B = 16
+        ids = g.integers(1, 62, size=(B, 12)).astype(np.int32)
+        ids[:, 7] = 63
+        return {
+            "input_ids": ids,
+            "attention_mask": np.ones((B, 12), np.int32),
+            "pixel_values": g.normal(size=(B, 3, 32, 32)).astype(np.float32),
+            "text_present": np.ones((B,), np.float32),
+            "image_present": np.ones((B,), np.float32),
+            "labels": (g.random((B, 3)) < 0.5).astype(np.float32),
+        }
+
+    return model, params, global_batch
+
+
+def run_steps(model, params, global_batch, mesh, local_rows, n_steps=3):
+    import jax
+    import optax
+    from multimodal_content_moderation_tpu.parallel.mesh import replicate, shard_batch
+    from multimodal_content_moderation_tpu.training.loop import make_train_step
+
+    tx = optax.adamw(1e-3)
+    params = replicate(params, mesh)
+    opt_state = replicate(tx.init(params), mesh)
+    step = make_train_step(model, tx)
+    rng = replicate(jax.random.key(7), mesh)
+    losses = []
+    for s in range(n_steps):
+        gb = global_batch(s)
+        batch = shard_batch({k: v[local_rows] for k, v in gb.items()}, mesh)
+        params, opt_state, rng, loss = step(params, opt_state, rng, batch)
+        losses.append(float(loss))
+    return losses
+"""
+
+_TRAIN_WORKER = _TRAIN_COMMON + r"""
+import os, sys
+proc_id = int(sys.argv[1]); port = sys.argv[2]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from multimodal_content_moderation_tpu.parallel.mesh import build_mesh, init_distributed
+
+init_distributed(f"localhost:{port}", num_processes=2, process_id=proc_id)
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+mesh = build_mesh()
+model, params, global_batch = tiny_model_and_batches()
+# each process feeds its half of every global batch (rows 0-7 / 8-15)
+local = slice(proc_id * 8, proc_id * 8 + 8)
+losses = run_steps(model, params, global_batch, mesh, local)
+print("LOSSES", " ".join(f"{l:.8f}" for l in losses), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_train_step_matches_single_process(tmp_path):
+    """Two OS processes x 4 virtual devices running the production
+    make_train_step over a global 8-device mesh: per-step losses must equal
+    the single-process 8-device run on the same global batches (SURVEY §5
+    comm-backend row — jax.distributed over DCN, not just batch assembly)."""
+    import numpy as np
+
+    # single-process reference on this process's own 8 virtual devices
+    import jax  # conftest pinned CPU + 8 devices
+
+    from multimodal_content_moderation_tpu.parallel.mesh import build_mesh
+
+    ns = {}
+    exec(compile(_TRAIN_COMMON, "<train_common>", "exec"), ns)
+    model, params, global_batch = ns["tiny_model_and_batches"]()
+    ref_losses = ns["run_steps"](
+        model, params, global_batch, build_mesh(), slice(0, 16)
+    )
+
+    outs = _spawn_workers(tmp_path, _TRAIN_WORKER)
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("LOSSES")]
+        assert lines, out
+        got = [float(x) for x in lines[0].split()[1:]]
+        np.testing.assert_allclose(got, ref_losses, rtol=1e-5, atol=1e-6)

@@ -153,6 +153,38 @@ def test_locked_mode_quality_parity_siglip(siglip_encoder_dir, data_dir):
 
 
 @pytest.mark.slow
+def test_locked_fast_config_quality_parity(encoder_dir, data_dir):
+    """The PRODUCTION fast train config (u8 wire + bf16 compute/scores +
+    bf16 Adam accumulators + text_fit) on the JAX side vs the fp32 torch
+    reference: same init + data order, so metric deltas isolate the fast
+    recipe's precision effects — they must stay inside the +-0.005 band
+    (VERDICT r3 #2; full-scale artifact via
+    tools/run_fullscale_quality_parity.py --jax_fast)."""
+    import quality_parity
+
+    report = quality_parity.run(
+        encoder_dir=encoder_dir,
+        train_csv=f"{data_dir}/train.csv",
+        val_csv=f"{data_dir}/val.csv",
+        image_root=f"{data_dir}/images",
+        class_names=["racist", "sexist", "homophobe", "religion", "otherhate"],
+        mode="locked",
+        epochs=2,
+        batch_size=8,
+        fusion_dim=16,
+        max_text_length=16,
+        lr=1e-3,
+        jax_fast=True,
+    )
+    assert report["mode"] == "locked_fast"
+    assert "text_fit" in report["jax_config"]
+    # bf16 everywhere: losses track loosely, metrics must hold the band
+    assert report["max_step_loss_delta"] < 0.05
+    assert report["delta"]["f1_macro"] <= 0.005
+    assert report["delta"]["roc_macro"] <= 0.005
+
+
+@pytest.mark.slow
 def test_locked_mode_quality_parity_mtl(encoder_dir, data_dir):
     """Locked-mode parity for the MTL head (the reference's best-published
     configuration), incl. hidden task heads."""

@@ -451,6 +451,40 @@ class TestMicroBatcher:
         assert len(calls) < 4
         assert max(calls) > 2
 
+    def test_batch_requests_bypass_coalescing(self):
+        """A request already carrying >= bypass_n instances must run on the
+        CALLING thread, never through the worker queue (coalescing costs
+        batch traffic ~20%, tools/bench_serving.py) — while small requests
+        still coalesce (VERDICT r3 #3 adaptive policy)."""
+        import threading
+
+        from multimodal_content_moderation_tpu.serving.server import MicroBatcher
+
+        call_threads = []
+
+        def predict(instances):
+            call_threads.append((threading.current_thread(), len(instances)))
+            return [{"echo": inst["x"]} for inst in instances]
+
+        mb = MicroBatcher(predict, window_ms=20.0, max_batch=64, bypass_n=4)
+
+        big = [{"x": i} for i in range(6)]  # >= bypass_n: direct path
+        out = mb(big)
+        assert [o["echo"] for o in out] == list(range(6))
+        th, n = call_threads[-1]
+        assert th is threading.current_thread() and n == 6
+
+        out_small = mb([{"x": "s"}])  # < bypass_n: worker path
+        assert out_small == [{"echo": "s"}]
+        th, n = call_threads[-1]
+        assert th is not threading.current_thread() and n == 1
+
+        # bypass_n=0 disables bypassing entirely
+        mb0 = MicroBatcher(predict, window_ms=5.0, bypass_n=0)
+        mb0(big)
+        th, _ = call_threads[-1]
+        assert th is not threading.current_thread()
+
     def test_error_fans_out_to_all_waiters(self):
         import threading
 

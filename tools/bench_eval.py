@@ -160,17 +160,21 @@ def main():
             best = max(best, n_samples / (time.perf_counter() - t0))
         return best
 
-    def time_fn(fn, stages, n_iters=40):
-        """Median per-dispatch seconds for jitted fn over staged varying args
-        (value fetch on the last output = the only true barrier on axon)."""
+    def time_fn(fn, bp, stages, n_iters=40):
+        """Median per-dispatch seconds for jitted fn(bp, *args) over staged
+        varying args (value fetch on the last output = the only true barrier
+        on axon). ``bp`` must be an EXPLICIT argument: closure-captured
+        device arrays are embedded as HLO constants, and a 12-layer d=768
+        backbone as literals blows the remote-compile request size limit
+        (HTTP 413)."""
         fn = jax.jit(fn)
-        _ = float(np.asarray(fn(*stages[0])).ravel()[0])
+        _ = float(np.asarray(fn(bp, *stages[0])).ravel()[0])
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             out = None
             for i in range(n_iters):
-                out = fn(*stages[i % len(stages)])
+                out = fn(bp, *stages[i % len(stages)])
             _ = float(np.asarray(out).ravel()[0])
             times.append((time.perf_counter() - t0) / n_iters)
         return float(np.median(times))
@@ -204,9 +208,9 @@ def main():
 
         if args.backend == "siglip":
             scfg = mdl.siglip_config
-            text_fn = lambda ids, m: sig.siglip_text_features(bp, ids, m, scfg)
-            vis_fn = lambda p: sig.siglip_image_features_from_tokens(
-                bp, mdl._embed_u8(bp, p), scfg
+            text_fn = lambda b, ids, m: sig.siglip_text_features(b, ids, m, scfg)
+            vis_fn = lambda b, p: sig.siglip_image_features_from_tokens(
+                b, mdl._embed_u8(b, p), scfg
             )
             n_pat = (scfg.vision.image_size // scfg.vision.patch_size) ** 2
             D = scfg.vision.hidden_size
@@ -216,27 +220,25 @@ def main():
                 )
                 for _ in range(n_stage)
             ]
-            pool_fn = lambda h: sig._map_head(
+            pool_fn = lambda b, h: sig._map_head(
                 h.astype(scfg.vision.compute_dtype),
-                bp["vision_model"]["map_head"],
+                b["vision_model"]["map_head"],
                 scfg.vision,
             )
         else:
             ccfg = mdl.clip_config
-            text_fn = lambda ids, m: clip_mod.clip_text_features(bp, ids, m, ccfg)
-            vis_fn = lambda p: clip_mod.clip_image_features_from_tokens(
-                bp, mdl._embed_u8(bp, p), ccfg
+            text_fn = lambda b, ids, m: clip_mod.clip_text_features(b, ids, m, ccfg)
+            vis_fn = lambda b, p: clip_mod.clip_image_features_from_tokens(
+                b, mdl._embed_u8(b, p), ccfg
             )
             pool_fn, hid_st = None, None
 
-        full_fn = lambda ids, m, p, t, i: engine._forward(
-            engine.params, ids, m, p, t, i
-        )
         ones = jax.device_put(np.ones((B,), np.float32))
-        t_text = time_fn(text_fn, ids_st)
-        t_vis = time_fn(vis_fn, [(p,) for p in patch_st])
+        t_text = time_fn(text_fn, bp, ids_st)
+        t_vis = time_fn(vis_fn, bp, [(p,) for p in patch_st])
         t_full = time_fn(
-            lambda ids, m, p: full_fn(ids, m, p, ones, ones),
+            lambda prm, ids, m, p: engine._forward(prm, ids, m, p, ones, ones),
+            engine.params,
             [(a, b, p) for (a, b), p in zip(ids_st, patch_st)],
         )
         out = {
@@ -247,7 +249,9 @@ def main():
             "full_samples_per_s": round(B / t_full, 1),
         }
         if pool_fn is not None:
-            out["map_head_ms_per_batch"] = round(time_fn(pool_fn, [(h,) for h in hid_st]) * 1e3, 2)
+            out["map_head_ms_per_batch"] = round(
+                time_fn(pool_fn, bp, [(h,) for h in hid_st]) * 1e3, 2
+            )
         return out
 
     sizes = (

@@ -168,6 +168,17 @@ def main(argv=None):
     ap.add_argument("--microbatch_ms", type=float, default=0.0,
                     help=">0 enables cross-request micro-batching "
                     "(serving/server.MicroBatcher) with this window")
+    ap.add_argument("--microbatch_bypass", type=int, default=16,
+                    help="MicroBatcher bypass threshold: requests carrying "
+                    ">= this many instances skip coalescing (0 disables)")
+    ap.add_argument("--mixed", action="store_true",
+                    help="mixed-traffic mode: --small_clients B=1 request "
+                    "loops run CONCURRENTLY with the --clients batch loops; "
+                    "reports each population's rate + latency separately "
+                    "(the MicroBatcher x pipelined-lock interaction test)")
+    ap.add_argument("--small_clients", type=int, default=8)
+    ap.add_argument("--mixed_seconds", type=float, default=30.0,
+                    help="duration of the mixed-traffic measurement window")
     args = ap.parse_args(argv)
 
     os.environ["MMHARM_ENGINE"] = args.engine
@@ -175,6 +186,7 @@ def main(argv=None):
     os.environ["MMHARM_ATTENTION"] = args.attention
     os.environ["MMHARM_IMAGE_BACKEND"] = args.image_backend
     os.environ["MMHARM_MICROBATCH_MS"] = str(args.microbatch_ms)
+    os.environ["MMHARM_MICROBATCH_BYPASS"] = str(args.microbatch_bypass)
     os.environ["MMHARM_SEQ_BUCKETS"] = args.seq_buckets
 
     from multimodal_content_moderation_tpu.serving import server as srv
@@ -202,6 +214,76 @@ def main(argv=None):
                     ]
                 },
             )
+
+            if args.mixed:
+                # ---- mixed traffic: small B=1 loops + batch loops, same
+                # window. The question (VERDICT r3 #3): do the MicroBatcher's
+                # small-request coalescing and the pipelined device lock's
+                # batch throughput coexist, or does one starve the other?
+                stop = time.perf_counter() + args.mixed_seconds
+                small_lat, batch_done = [], []
+                lk = threading.Lock()
+
+                def small_client(cid: int):
+                    i = 0
+                    while time.perf_counter() < stop:
+                        t0 = time.perf_counter()
+                        post(url, {
+                            "text": texts[(cid * 97 + i) % len(texts)],
+                            "image": images[(cid + i) % len(images)],
+                        })
+                        with lk:
+                            small_lat.append(time.perf_counter() - t0)
+                        i += 1
+
+                def batch_client(cid: int):
+                    r = 0
+                    while time.perf_counter() < stop:
+                        body = {"instances": [
+                            {"text": texts[(cid * 131 + r * 17 + i) % len(texts)],
+                             "image": images[(cid + r + i) % len(images)]}
+                            for i in range(args.batch_size)
+                        ]}
+                        post(url, body)
+                        with lk:
+                            batch_done.append(args.batch_size)
+                        r += 1
+
+                threads = [
+                    threading.Thread(target=small_client, args=(c,))
+                    for c in range(args.small_clients)
+                ] + [
+                    threading.Thread(target=batch_client, args=(c,))
+                    for c in range(args.clients)
+                ]
+                t0 = time.perf_counter()
+                for th in threads:
+                    th.start()
+                for th in threads:
+                    th.join()
+                dt = time.perf_counter() - t0
+                sl = sorted(x * 1000 for x in small_lat)
+                qq = lambda p: (
+                    sl[min(len(sl) - 1, int(p * len(sl)))] if sl else None
+                )
+                result = {
+                    "metric": "serving_mixed_traffic",
+                    "unit": "samples/s",
+                    "value": round((len(small_lat) + sum(batch_done)) / dt, 1),
+                    "small_requests_per_s": round(len(small_lat) / dt, 1),
+                    "small_p50_ms": round(qq(0.50), 1) if sl else None,
+                    "small_p99_ms": round(qq(0.99), 1) if sl else None,
+                    "batch_samples_per_s": round(sum(batch_done) / dt, 1),
+                    "small_clients": args.small_clients,
+                    "batch_clients": args.clients,
+                    "request_batch": args.batch_size,
+                    "window_s": round(dt, 1),
+                    "microbatch_ms": args.microbatch_ms,
+                    "microbatch_bypass": args.microbatch_bypass,
+                    "engine": args.engine,
+                }
+                print(json.dumps(result))
+                return result
 
             # ---- single-instance latency ----
             lat = []

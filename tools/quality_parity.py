@@ -239,11 +239,48 @@ def train_torch(model, train_ds, val_ds, orders, batch_size, lr, wd, dropout_off
 
 
 def train_jax(model, params, train_ds, val_ds, orders, batch_size, lr, wd,
-              dropout_off, seed):
+              dropout_off, seed, fast=None):
+    """``fast`` (dict or None) switches the JAX side to the PRODUCTION fast
+    train config (the 3,436 samples/s recipe, docs/PERFORMANCE.md) while the
+    torch side stays the fp32 reference: uint8 wire + folded-norm patch
+    embed, bf16 compute + bf16 attention scores, bf16 Adam accumulators
+    (training/optim.scale_by_adam_compact — the real production transform),
+    and text_fit (static text width shrunk to the data; exact for CLIP).
+    Keys: {"mean", "std", "patch_size", "text_width"}. Attention/embed
+    kernels pick Pallas automatically on TPU, XLA reference elsewhere."""
+    import dataclasses
+
     import jax
     import optax
 
-    tx = optax.adamw(lr, weight_decay=wd)
+    text_w = None
+    if fast:
+        from multimodal_content_moderation_tpu.models import model_io
+        from multimodal_content_moderation_tpu.training.optim import (
+            scale_by_adam_compact,
+        )
+
+        on_tpu = jax.default_backend() not in ("cpu",)
+        model = dataclasses.replace(
+            model,
+            image_mean=tuple(float(m) for m in fast["mean"]),
+            image_std=tuple(float(s) for s in fast["std"]),
+            embed_impl="pallas" if on_tpu else "reference",
+        )
+        model = model_io.with_performance_options(
+            model,
+            compute_dtype="bfloat16",
+            scores_dtype="bfloat16",
+            attention_impl="pallas" if on_tpu else "xla",
+        )
+        text_w = fast.get("text_width")
+        tx = optax.chain(
+            scale_by_adam_compact(0.9, 0.999, 1e-8, "bfloat16"),
+            optax.add_decayed_weights(wd),
+            optax.scale_by_learning_rate(lr),
+        )
+    else:
+        tx = optax.adamw(lr, weight_decay=wd)
     opt_state = tx.init(params)
     rng = jax.random.key(seed)
 
@@ -262,22 +299,48 @@ def train_jax(model, params, train_ds, val_ds, orders, batch_size, lr, wd,
 
     keys = ("input_ids", "attention_mask", "pixel_values", "text_present",
             "image_present", "labels")
+
+    def prep(b, with_labels=True):
+        out = {k: b[k] for k in keys if with_labels or k != "labels"}
+        if fast:
+            from multimodal_content_moderation_tpu.ops.pallas_image import (
+                extract_patches_u8,
+            )
+
+            out["patches_u8"] = extract_patches_u8(
+                out.pop("pixel_values"), fast["patch_size"]
+            )
+            if text_w and text_w < out["input_ids"].shape[1]:
+                out["input_ids"] = np.ascontiguousarray(
+                    out["input_ids"][:, :text_w]
+                )
+                out["attention_mask"] = np.ascontiguousarray(
+                    out["attention_mask"][:, :text_w]
+                )
+        return out
+
     losses = []
     for order in orders:
         for b in batches_for(train_ds, order, batch_size):
             params, opt_state, rng, loss = step(
-                params, opt_state, rng, {k: b[k] for k in keys}
+                params, opt_state, rng, prep(b)
             )
             losses.append(float(loss))
 
-    fwd = jax.jit(lambda p, b: model.apply(p, b)["logits"])
+    fwd = jax.jit(
+        lambda p, b: model.apply(p, b)["logits"].astype(jnp_f32())
+    )
     all_logits, all_labels = [], []
     for b in batches_for(val_ds, np.arange(len(val_ds)), batch_size):
-        all_logits.append(
-            np.asarray(fwd(params, {k: b[k] for k in keys if k != "labels"}))
-        )
+        all_logits.append(np.asarray(fwd(params, prep(b, with_labels=False))))
         all_labels.append(b["labels"])
     return losses, np.concatenate(all_logits), np.concatenate(all_labels)
+
+
+def jnp_f32():
+    import jax.numpy as jnp
+
+    return jnp.float32
 
 
 def run(
@@ -297,6 +360,7 @@ def run(
     head: str = "fusion",
     head_hidden_dim: int = 0,
     backend: str = "clip",
+    jax_fast: bool = False,
 ) -> dict:
     from multimodal_content_moderation_tpu.cli.common import image_stats_from_dir
     from multimodal_content_moderation_tpu.data.dataset import CSVDataset
@@ -374,19 +438,49 @@ def run(
         jparams["backbone"] = convert(oracle.state_dict())["backbone"]
         dropout_off = False
 
+    fast = None
+    j_train_ds, j_val_ds = train_ds, val_ds
+    if jax_fast:
+        # the JAX side runs the PRODUCTION fast config (u8 wire + bf16
+        # compute/scores + bf16 Adam accumulators + text_fit); torch stays
+        # the fp32 reference, so the final band check proves the fast recipe
+        # holds the quality band, not just the locked fp32 path
+        vcfg = cfg.vision
+        pp_u8 = ImagePreprocessor(H, W, mean, std, output="uint8_hwc")
+        mk_u8 = lambda csv: CSVDataset(
+            csv, image_root, tokenizer, pp_u8, max_text_length,
+            class_names=class_names,
+        )
+        j_train_ds, j_val_ds = mk_u8(train_csv), mk_u8(val_csv)
+        text_width = None
+        if backend == "clip":  # text_fit: exact for CLIP (causal + EOS pool)
+            longest = max(
+                int(d.attention_mask.sum(axis=1).max(initial=1))
+                for d in (j_train_ds, j_val_ds)
+            )
+            text_width = min(max_text_length, max(8, -(-longest // 8) * 8))
+        fast = {
+            "mean": mean, "std": std, "patch_size": vcfg.patch_size,
+            "text_width": text_width,
+        }
+
     t_losses, t_logits, labels = train_torch(
         oracle, train_ds, val_ds, orders, batch_size, lr, weight_decay, dropout_off
     )
     j_losses, j_logits, _ = train_jax(
-        jmodel, jparams, train_ds, val_ds, orders, batch_size, lr, weight_decay,
-        dropout_off, seed,
+        jmodel, jparams, j_train_ds, j_val_ds, orders, batch_size, lr,
+        weight_decay, dropout_off, seed, fast=fast,
     )
 
     cm = make_compute_metrics_multi(len(class_names))
     t_metrics = cm((t_logits, labels))
     j_metrics = cm((j_logits, labels))
     report = {
-        "mode": mode,
+        "mode": mode + ("_fast" if jax_fast else ""),
+        "jax_config": (
+            "u8 wire + bf16 compute/scores + bf16 Adam accumulators + "
+            f"text_fit {fast['text_width']}" if jax_fast else "fp32 parity"
+        ),
         "head": head,
         "steps": len(t_losses),
         "torch": {k: float(v) for k, v in t_metrics.items()},
@@ -426,6 +520,13 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tolerance", type=float, default=0.005,
                     help="max allowed |delta| on f1_macro / roc_macro")
+    ap.add_argument(
+        "--jax_fast", action="store_true",
+        help="JAX side trains with the PRODUCTION fast config (u8 wire + "
+        "bf16 compute/scores + bf16 Adam accumulators + text_fit) while "
+        "torch stays the fp32 reference — proves the fast recipe holds the "
+        "quality band",
+    )
     ap.add_argument("--output", default="")
     args = ap.parse_args(argv)
     names = [c for c in args.class_names.split(",") if c] or None
@@ -434,7 +535,7 @@ def main(argv=None):
         args.mode, args.epochs, args.batch_size, args.lr, args.weight_decay,
         args.fusion_dim, args.max_text_length, args.seed,
         head=args.head, head_hidden_dim=args.head_hidden_dim,
-        backend=args.backend,
+        backend=args.backend, jax_fast=args.jax_fast,
     )
     print(json.dumps(report, indent=2))
     if args.output:

@@ -178,10 +178,24 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--head", choices=["fusion", "mtl"], default="fusion")
     ap.add_argument("--backend", choices=["clip", "siglip"], default="clip")
+    ap.add_argument(
+        "--jax_fast", action="store_true",
+        help="JAX side trains with the PRODUCTION fast config (u8 wire + "
+        "bf16 compute/scores + bf16 Adam accumulators + text_fit); torch "
+        "stays fp32 — proves the recommended 3,436 samples/s recipe holds "
+        "the +-0.005 band at full scale (VERDICT r3 #2)",
+    )
+    ap.add_argument(
+        "--platform", choices=["cpu", "tpu"], default="cpu",
+        help="tpu runs the JAX side on the real chip (Pallas kernels, the "
+        "true production config); cpu uses the XLA reference paths",
+    )
     ap.add_argument("--output", default="")
     args = ap.parse_args()
     if not args.output:
         suffix = "" if args.backend == "clip" else f"_{args.backend}"
+        if args.jax_fast:
+            suffix += "_fast"
         args.output = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "docs", f"quality_parity_fullscale{suffix}.json",
@@ -189,7 +203,8 @@ def main():
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")  # axon overrides JAX_PLATFORMS
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")  # axon overrides JAX_PLATFORMS
 
     from tools.quality_parity import run
 
@@ -222,6 +237,7 @@ def main():
             head=args.head,
             head_hidden_dim=256 if args.head == "mtl" else 0,
             backend=args.backend,
+            jax_fast=args.jax_fast,
         )
     report["scale"] = {
         "text": "12L/8H/d512" if args.backend == "clip" else "12L/12H/d768",
