@@ -224,7 +224,7 @@ def main(argv=None) -> Dict[str, Any]:
     head = model_cfg.get("head", "fusion")
     enc_dir = resolve_encoder_dir(model_cfg)
     enc_config = model_io.load_encoder_config(
-        enc_dir or "", "clip" if backend == "clip" else "siglip"
+        enc_dir or "", backend if backend in ("clip", "generic") else "siglip"
     )
     import dataclasses
 
@@ -243,9 +243,12 @@ def main(argv=None) -> Dict[str, Any]:
             text=dataclasses.replace(enc_config.text, **tower_overrides),
             vision=dataclasses.replace(enc_config.vision, **tower_overrides),
         )
-    kwargs = (
-        {"clip_config": enc_config} if backend == "clip" else {"siglip_config": enc_config}
-    )
+    if backend == "clip":
+        kwargs = {"clip_config": enc_config}
+    elif backend == "generic":
+        kwargs = {"generic_config": enc_config}
+    else:
+        kwargs = {"siglip_config": enc_config}
     model = model_io.build_model(
         head,
         backend,

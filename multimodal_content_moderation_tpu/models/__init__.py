@@ -16,6 +16,14 @@ from multimodal_content_moderation_tpu.models.siglip import (  # noqa: F401
     siglip_init,
     siglip_text_features,
 )
+from multimodal_content_moderation_tpu.models.generic import (  # noqa: F401
+    GenericDualConfig,
+    GenericTextConfig,
+    GenericVisionConfig,
+    generic_image_features,
+    generic_init,
+    generic_text_features,
+)
 from multimodal_content_moderation_tpu.models.fusion import (  # noqa: F401
     FusionModel,
     fusion_head_apply,

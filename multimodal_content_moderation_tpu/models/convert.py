@@ -225,11 +225,17 @@ def mtl_head_from_torch(sd: Dict, num_tasks: int) -> dict:
 
 def fusion_model_from_torch(
     sd: Dict, backend: str, clip_cfg: Optional[CLIPConfig] = None,
-    siglip_cfg: Optional[SigLIPConfig] = None,
+    siglip_cfg: Optional[SigLIPConfig] = None, generic_cfg=None,
 ) -> dict:
     """Full reference fusion checkpoint (backbone.* + head)."""
     if backend == "clip":
         backbone = clip_params_from_torch(sd, clip_cfg, prefix="backbone.")
+    elif backend == "generic":
+        from multimodal_content_moderation_tpu.models.generic import (
+            generic_params_from_torch,
+        )
+
+        backbone = generic_params_from_torch(sd, generic_cfg, prefix="backbone.")
     else:
         backbone = siglip_params_from_torch(sd, siglip_cfg, prefix="backbone.")
     return {"backbone": backbone, "head": fusion_head_from_torch(sd)}
@@ -237,7 +243,7 @@ def fusion_model_from_torch(
 
 def mtl_model_from_torch(
     sd: Dict, backend: str, num_tasks: int, clip_cfg: Optional[CLIPConfig] = None,
-    siglip_cfg: Optional[SigLIPConfig] = None,
+    siglip_cfg: Optional[SigLIPConfig] = None, generic_cfg=None,
 ) -> dict:
     """Full reference MTL checkpoint (tower_txt./tower_img. or backbone.)."""
     if backend == "clip":
@@ -249,6 +255,14 @@ def mtl_model_from_torch(
                 sd, clip_cfg, prefix="tower_img.vision_model."
             ),
         }
+    elif backend == "generic":
+        from multimodal_content_moderation_tpu.models.generic import (
+            generic_params_from_torch,
+        )
+
+        backbone = generic_params_from_torch(sd, generic_cfg, prefix="backbone.")
+        backbone.pop("text_projection", None)
+        backbone.pop("visual_projection", None)
     else:
         backbone = siglip_params_from_torch(sd, siglip_cfg, prefix="backbone.")
     return {"backbone": backbone, "head": mtl_head_from_torch(sd, num_tasks)}

@@ -63,11 +63,12 @@ class FastInferenceEngine:
             embed_impl="pallas" if use_pallas else "reference",
         )
         self.params = params
-        vcfg = (
-            self.model.clip_config.vision
-            if self.model.backend == "clip"
-            else self.model.siglip_config.vision
-        )
+        if self.model.backend == "clip":
+            vcfg = self.model.clip_config.vision
+        elif self.model.backend == "generic":
+            vcfg = self.model.generic_config.vision
+        else:
+            vcfg = self.model.siglip_config.vision
         self.patch_size = vcfg.patch_size
 
         mdl = self.model
@@ -279,6 +280,11 @@ def evaluate_logits_u8(
     indices = None
     backend = engine.model.backend
     full_T = dataset.input_ids.shape[1]
+    if seq_buckets and backend == "generic":
+        # generic towers may mean-pool over ALL positions (pads included,
+        # reference multitask.py:141) — truncating columns would change the
+        # mean, so seq bucketing is exact only for clip/siglip pooling
+        seq_buckets = None
     if seq_buckets:
         ladder = bucket_ladder(seq_buckets, full_T)
         if ladder is not None:

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_content_moderation_tpu.models import clip as clip_mod
+from multimodal_content_moderation_tpu.models import generic as generic_mod
 from multimodal_content_moderation_tpu.models import siglip as siglip_mod
 from multimodal_content_moderation_tpu.ops.layers import (
     dense,
@@ -118,9 +119,10 @@ class FusionModel:
     src/models/fusion.py:157-165.
     """
 
-    backend: str = "clip"  # "clip" | "siglip" | "auto"
+    backend: str = "clip"  # "clip" | "siglip" | "auto" | "generic"
     clip_config: Optional[clip_mod.CLIPConfig] = None
     siglip_config: Optional[siglip_mod.SigLIPConfig] = None
+    generic_config: Optional["generic_mod.GenericDualConfig"] = None
     num_labels: int = 5
     fusion_dim: int = 512
     loss_type: str = "bce"  # "bce" | "focal" | "asl"
@@ -141,16 +143,20 @@ class FusionModel:
         focal_gamma: float = 1.5,
         clip_config: Optional[clip_mod.CLIPConfig] = None,
         siglip_config: Optional[siglip_mod.SigLIPConfig] = None,
+        generic_config=None,
     ) -> "FusionModel":
         backend = backend.lower()
         if backend == "clip":
             clip_config = clip_config or clip_mod.CLIPConfig.base_patch32()
+        elif backend == "generic":
+            generic_config = generic_config or generic_mod.GenericDualConfig()
         else:
             siglip_config = siglip_config or siglip_mod.SigLIPConfig.base_patch16_224()
         return FusionModel(
             backend=backend,
             clip_config=clip_config,
             siglip_config=siglip_config,
+            generic_config=generic_config,
             num_labels=num_labels,
             fusion_dim=fusion_dim,
             loss_type=loss_type,
@@ -161,16 +167,25 @@ class FusionModel:
     def feature_dim(self) -> int:
         if self.backend == "clip":
             return self.clip_config.projection_dim
+        if self.backend == "generic":
+            # the reference's projection-dim probing chain (fusion.py:110-120):
+            # projection_dim -> text hidden -> vision hidden
+            g = self.generic_config
+            return g.projection_dim or g.text.hidden_size or g.vision.hidden_size
         # SigLIP feature dims: text head projection_size == vision hidden_size
         return self.siglip_config.text.projection_size
 
     @property
     def image_size(self) -> int:
+        if self.backend == "generic":
+            return self.generic_config.vision.image_size
         cfg = self.clip_config.vision if self.backend == "clip" else self.siglip_config.vision
         return cfg.image_size
 
     @property
     def text_max_positions(self) -> int:
+        if self.backend == "generic":
+            return self.generic_config.text.max_positions
         cfg = self.clip_config.text if self.backend == "clip" else self.siglip_config.text
         return cfg.max_positions
 
@@ -178,6 +193,8 @@ class FusionModel:
         kb, kh = jax.random.split(rng)
         if self.backend == "clip":
             backbone = clip_mod.clip_init(kb, self.clip_config, dtype)
+        elif self.backend == "generic":
+            backbone = generic_mod.generic_init(kb, self.generic_config, dtype)
         else:
             backbone = siglip_mod.siglip_init(kb, self.siglip_config, dtype)
         head = fusion_head_init(kh, self.feature_dim, self.num_labels, self.fusion_dim, dtype)
@@ -203,6 +220,18 @@ class FusionModel:
                 )
             else:
                 v = clip_mod.clip_image_features(bp, batch["pixel_values"], self.clip_config)
+        elif self.backend == "generic":
+            t = generic_mod.generic_text_features(
+                bp, batch["input_ids"], batch.get("attention_mask"), self.generic_config
+            )
+            if u8 is not None:
+                v = generic_mod.generic_image_features_from_tokens(
+                    bp, self._embed_u8(bp, u8), self.generic_config
+                )
+            else:
+                v = generic_mod.generic_image_features(
+                    bp, batch["pixel_values"], self.generic_config
+                )
         else:
             t = siglip_mod.siglip_text_features(
                 bp, batch["input_ids"], batch.get("attention_mask"), self.siglip_config,

@@ -33,6 +33,10 @@ from multimodal_content_moderation_tpu.models.clip import (
     CLIPVisionConfig,
 )
 from multimodal_content_moderation_tpu.models.fusion import FusionModel
+from multimodal_content_moderation_tpu.models.generic import (
+    GenericDualConfig,
+    generic_params_from_torch,
+)
 from multimodal_content_moderation_tpu.models.multitask import MultiTaskModel
 from multimodal_content_moderation_tpu.models.siglip import (
     SigLIPConfig,
@@ -105,15 +109,23 @@ def resolve_backend(encoder_dir: Optional[str], backend: str) -> str:
     """Resolve the reference's ``backend: auto`` option. The reference's
     "auto" loads the encoder through HF ``AutoModel`` (fusion.py:88-111,
     multitask.py:130-154); the TPU-native equivalent is dispatch on the
-    local checkpoint's ``config.json`` ``model_type`` (clip -> clip,
-    anything else -> the siglip/auto pooling path, matching the reference's
-    non-CLIP branch)."""
+    local checkpoint's ``config.json`` ``model_type``: clip -> clip,
+    siglip-family -> siglip, and any other dual-encoder config whose towers
+    are standard HF architectures (e.g. ``vision-text-dual-encoder`` =
+    ViT+BERT) -> the ``generic`` backend (models/generic.py) — the same
+    coverage the reference gets from ``AutoModel`` + pooling fallbacks."""
     if backend != "auto":
         return backend
     cfg_path = os.path.join(encoder_dir or "", "config.json")
     if os.path.exists(cfg_path):
-        model_type = load_json(cfg_path).get("model_type", "")
-        return "clip" if model_type == "clip" else "siglip"
+        d = load_json(cfg_path)
+        model_type = d.get("model_type", "")
+        if model_type == "clip":
+            return "clip"
+        if model_type.startswith("siglip") or not model_type:
+            return "siglip"
+        if "text_config" in d or "vision_config" in d:
+            return "generic"
     return "siglip"
 
 
@@ -125,6 +137,8 @@ def load_encoder_config(encoder_dir: str, backend: str):
         model_type = d.get("model_type", "")
         if backend == "clip" or model_type == "clip":
             return clip_config_from_dict(d)
+        if backend == "generic":
+            return GenericDualConfig.from_dict(d)
         return siglip_config_from_dict(d)
     # No config: fall back to canonical architectures
     if backend == "clip":
@@ -158,17 +172,25 @@ def build_model(
     learnable_task_weights: bool = False,
     clip_config: Optional[CLIPConfig] = None,
     siglip_config: Optional[SigLIPConfig] = None,
+    generic_config: Optional[GenericDualConfig] = None,
 ):
     """Dispatch fusion/mtl model creation (scripts/train.py:227-255 contract)."""
     if head == "mtl":
+        if backend == "clip":
+            mtl_backend = "clip"
+        elif backend == "generic":
+            mtl_backend = "generic"
+        else:
+            mtl_backend = "auto"
         return MultiTaskModel.create(
-            backend="clip" if backend == "clip" else "auto",
+            backend=mtl_backend,
             num_tasks=len(class_names),
             fusion_dim=fusion_dim,
             head_hidden_dim=head_hidden_dim,
             learnable_task_weights=learnable_task_weights,
             clip_config=clip_config,
             siglip_config=siglip_config,
+            generic_config=generic_config,
         )
     return FusionModel.create(
         backend=backend,
@@ -178,6 +200,7 @@ def build_model(
         focal_gamma=focal_gamma,
         clip_config=clip_config,
         siglip_config=siglip_config,
+        generic_config=generic_config,
     )
 
 
@@ -198,8 +221,11 @@ def init_from_encoder_dir(
                 backbone.pop("text_projection", None)
                 backbone.pop("visual_projection", None)
                 backbone.pop("logit_scale", None)
-        else:
-            backbone = convert.siglip_params_from_torch(sd, model.siglip_config)
+        elif model.backend == "generic":
+            backbone = generic_params_from_torch(sd, model.generic_config)
+            if isinstance(model, MultiTaskModel):
+                backbone.pop("text_projection", None)
+                backbone.pop("visual_projection", None)
         params["backbone"] = jax.tree_util.tree_map(jnp.asarray, backbone)
     if dtype is not None:
         params = convert.to_dtype(params, dtype)
@@ -235,6 +261,14 @@ def with_performance_options(
             vision=dataclasses.replace(cfg.vision, **overrides),
         )
         return dataclasses.replace(model, clip_config=new_cfg)
+    if model.backend == "generic":
+        cfg = model.generic_config
+        new_cfg = dataclasses.replace(
+            cfg,
+            text=dataclasses.replace(cfg.text, **overrides),
+            vision=dataclasses.replace(cfg.vision, **overrides),
+        )
+        return dataclasses.replace(model, generic_config=new_cfg)
     cfg = model.siglip_config
     new_cfg = dataclasses.replace(
         cfg,
@@ -274,10 +308,13 @@ def load_checkpoint(
     fusion_dim = cfg.get("fusion_dim", 512)
 
     enc_src = encoder_dir or cfg.get("encoder_dir") or checkpoint_dir
-    enc_cfg = load_encoder_config(enc_src, "clip" if backend == "clip" else "siglip")
-    kwargs = (
-        {"clip_config": enc_cfg} if backend == "clip" else {"siglip_config": enc_cfg}
-    )
+    enc_cfg = load_encoder_config(enc_src, backend if backend in ("clip", "generic") else "siglip")
+    if backend == "clip":
+        kwargs = {"clip_config": enc_cfg}
+    elif backend == "generic":
+        kwargs = {"generic_config": enc_cfg}
+    else:
+        kwargs = {"siglip_config": enc_cfg}
     model = build_model(
         head,
         backend,
@@ -299,21 +336,22 @@ def load_checkpoint(
         sd = _find_state_dict(checkpoint_dir)
         if sd is None:
             raise FileNotFoundError(f"No model weights found in {checkpoint_dir}")
+        cfg_kw = {}
+        if backend == "clip":
+            cfg_kw["clip_cfg"] = enc_cfg
+        elif backend == "generic":
+            cfg_kw["generic_cfg"] = enc_cfg
+        else:
+            cfg_kw["siglip_cfg"] = enc_cfg
         if head == "mtl":
             params = convert.mtl_model_from_torch(
                 sd,
-                "clip" if backend == "clip" else "auto",
+                "clip" if backend == "clip" else backend if backend == "generic" else "auto",
                 num_tasks=len(class_names),
-                clip_cfg=enc_cfg if backend == "clip" else None,
-                siglip_cfg=None if backend == "clip" else enc_cfg,
+                **cfg_kw,
             )
         else:
-            params = convert.fusion_model_from_torch(
-                sd,
-                backend,
-                clip_cfg=enc_cfg if backend == "clip" else None,
-                siglip_cfg=None if backend == "clip" else enc_cfg,
-            )
+            params = convert.fusion_model_from_torch(sd, backend, **cfg_kw)
         import jax.numpy as jnp
 
         params = jax.tree_util.tree_map(jnp.asarray, params)

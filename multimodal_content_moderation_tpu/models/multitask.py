@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_content_moderation_tpu.models import clip as clip_mod
+from multimodal_content_moderation_tpu.models import generic as generic_mod
 from multimodal_content_moderation_tpu.models import siglip as siglip_mod
 from multimodal_content_moderation_tpu.models.fusion import _head_dense_init
 from multimodal_content_moderation_tpu.ops.layers import dense, dropout, gelu_exact
@@ -140,9 +141,10 @@ def mtl_loss(
 class MultiTaskModel:
     """Backbone towers + MTL head with the reference forward contract."""
 
-    backend: str = "clip"  # "clip" | "auto" | "siglip"
+    backend: str = "clip"  # "clip" | "auto" | "siglip" | "generic"
     clip_config: Optional[clip_mod.CLIPConfig] = None
     siglip_config: Optional[siglip_mod.SigLIPConfig] = None
+    generic_config: Optional["generic_mod.GenericDualConfig"] = None
     num_tasks: int = 5
     fusion_dim: int = 512
     head_hidden_dim: int = 0
@@ -161,16 +163,20 @@ class MultiTaskModel:
         learnable_task_weights: bool = False,
         clip_config: Optional[clip_mod.CLIPConfig] = None,
         siglip_config: Optional[siglip_mod.SigLIPConfig] = None,
+        generic_config=None,
     ) -> "MultiTaskModel":
         backend = backend.lower()
         if backend == "clip":
             clip_config = clip_config or clip_mod.CLIPConfig.base_patch32()
+        elif backend == "generic":
+            generic_config = generic_config or generic_mod.GenericDualConfig()
         else:
             siglip_config = siglip_config or siglip_mod.SigLIPConfig.base_patch16_224()
         return MultiTaskModel(
             backend=backend,
             clip_config=clip_config,
             siglip_config=siglip_config,
+            generic_config=generic_config,
             num_tasks=num_tasks,
             fusion_dim=fusion_dim,
             head_hidden_dim=head_hidden_dim or 0,
@@ -182,6 +188,13 @@ class MultiTaskModel:
         """(text_dim, image_dim) of the pooled tower features."""
         if self.backend == "clip":
             return self.clip_config.text.hidden_size, self.clip_config.vision.hidden_size
+        if self.backend == "generic":
+            # raw tower widths: the reference MTL auto path never projects
+            # (multitask.py:130-154 encodes through the bare submodules)
+            return (
+                self.generic_config.text.hidden_size,
+                self.generic_config.vision.hidden_size,
+            )
         return (
             self.siglip_config.text.projection_size,
             self.siglip_config.vision.hidden_size,
@@ -189,11 +202,15 @@ class MultiTaskModel:
 
     @property
     def image_size(self) -> int:
+        if self.backend == "generic":
+            return self.generic_config.vision.image_size
         cfg = self.clip_config.vision if self.backend == "clip" else self.siglip_config.vision
         return cfg.image_size
 
     @property
     def text_max_positions(self) -> int:
+        if self.backend == "generic":
+            return self.generic_config.text.max_positions
         cfg = self.clip_config.text if self.backend == "clip" else self.siglip_config.text
         return cfg.max_positions
 
@@ -206,6 +223,11 @@ class MultiTaskModel:
             backbone.pop("text_projection", None)
             backbone.pop("visual_projection", None)
             backbone.pop("logit_scale", None)
+        elif self.backend == "generic":
+            backbone = generic_mod.generic_init(kb, self.generic_config, dtype)
+            # raw towers only (reference MTL auto path, multitask.py:130-154)
+            backbone.pop("text_projection", None)
+            backbone.pop("visual_projection", None)
         else:
             backbone = siglip_mod.siglip_init(kb, self.siglip_config, dtype)
         tdim, idim = self.tower_dims
@@ -242,6 +264,28 @@ class MultiTaskModel:
             else:
                 v = clip_mod.clip_vision_pooled(
                     bp, batch["pixel_values"], self.clip_config.vision
+                )
+        elif self.backend == "generic":
+            gcfg = self.generic_config
+            t = generic_mod.generic_text_pooled(
+                bp, batch["input_ids"], batch.get("attention_mask"), gcfg.text
+            )
+            if u8 is not None:
+                tokens = self._embed_u8(bp, u8)
+                p = bp["vision_model"]
+                cls = jnp.broadcast_to(
+                    p["cls_token"].astype(tokens.dtype),
+                    (tokens.shape[0], 1, gcfg.vision.hidden_size),
+                )
+                x = jnp.concatenate([cls, tokens], axis=1)
+                x = x + p["position_embeddings"].astype(tokens.dtype)[None]
+                hidden = generic_mod.generic_vision_hidden_from_tokens(
+                    bp, x, gcfg.vision
+                )
+                v = generic_mod._pool(hidden, p, gcfg.vision.pooling, jnp.float32)
+            else:
+                v = generic_mod.generic_vision_pooled(
+                    bp, batch["pixel_values"], gcfg.vision
                 )
         else:
             t = siglip_mod.siglip_text_features(

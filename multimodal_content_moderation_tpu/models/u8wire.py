@@ -39,9 +39,17 @@ def embed_for_model(model, backbone: dict, patches_u8: jnp.ndarray) -> jnp.ndarr
     """Model-aware u8 embed: resolves the vision config and normalization
     stats (model fields or per-backend defaults) and embeds the patch rows.
     Shared by FusionModel and MultiTaskModel — the single dispatch point."""
-    clip = model.backend == "clip"
-    vcfg = model.clip_config.vision if clip else model.siglip_config.vision
-    dmean, dstd = default_stats("clip" if clip else "siglip")
+    if model.backend == "clip":
+        vcfg = model.clip_config.vision
+        dmean, dstd = default_stats("clip")
+    elif model.backend == "generic":
+        # ViT-style towers use 0.5/0.5 normalization like SigLIP; checkpoints
+        # with other stats carry them via model.image_mean/image_std
+        vcfg = model.generic_config.vision
+        dmean, dstd = default_stats("siglip")
+    else:
+        vcfg = model.siglip_config.vision
+        dmean, dstd = default_stats("siglip")
     return embed_patches_u8(
         backbone,
         patches_u8,

@@ -22,6 +22,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -140,6 +141,24 @@ def mha(
     q3 = dense(x_q, p["q"])
     k3 = dense(x_kv, p["k"])
     v3 = dense(x_kv, p["v"])
+
+    if Tq == 1 and mask is None and key_mask is None and not causal:
+        # Single-query pooled attention (the SigLIP MAP head,
+        # models/siglip._map_head). With M=1 the generic batched-GEMM path
+        # degenerates into B*h [1,dh]x[dh,Tk] matmuls plus [B,h,1,dh] layout
+        # copies (measured 1.88 ms of a 23 ms vision tower at B=96). The
+        # score/weighted-sum contractions are only B*Tk*D multiplies, so do
+        # them as VPU mult-reduces in the natural [B, Tk, h, dh] view — no
+        # transpose ever materializes, and softmax stays fp32 (same math).
+        scale = 1.0 / float(np.sqrt(dh))
+        qh = q3.astype(jnp.float32).reshape(B, 1, h, dh)
+        kh = k3.astype(jnp.float32).reshape(B, Tk, h, dh)
+        logits = (kh * qh).sum(-1) * scale  # [B, Tk, h]
+        w = jax.nn.softmax(logits, axis=1)
+        vh = v3.astype(jnp.float32).reshape(B, Tk, h, dh)
+        out = (vh * w[..., None]).sum(1)  # [B, h, dh]
+        out = out.astype(x_q.dtype).reshape(B, 1, D)
+        return dense(out, p["o"])
 
     if impl == "pallas" and mask is None and max(Tq, Tk) <= 256:
         # short-seq kernel consumes the natural [B, T, D] GEMM layout: no

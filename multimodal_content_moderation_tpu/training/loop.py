@@ -115,7 +115,12 @@ def enforce_gspmd_safe_kernels(model, mesh):
         return model
     from multimodal_content_moderation_tpu.models import model_io
 
-    cfg = model.clip_config if model.backend == "clip" else model.siglip_config
+    if model.backend == "clip":
+        cfg = model.clip_config
+    elif model.backend == "generic":
+        cfg = model.generic_config
+    else:
+        cfg = model.siglip_config
     if "pallas" in (cfg.text.attention_impl, cfg.vision.attention_impl):
         logger.warning(
             "attention_impl='pallas' is not GSPMD-partitionable; falling "

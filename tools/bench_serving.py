@@ -179,6 +179,11 @@ def main(argv=None):
     ap.add_argument("--small_clients", type=int, default=8)
     ap.add_argument("--mixed_seconds", type=float, default=30.0,
                     help="duration of the mixed-traffic measurement window")
+    ap.add_argument("--coldstart", action="store_true",
+                    help="measure time-to-first-prediction only: model load "
+                    "(incl. bucket-ladder prewarm compiles) + first B=1 and "
+                    "first batch request. Run twice with "
+                    "MMHARM_COMPILE_CACHE=<dir> for the cold/warm pair.")
     args = ap.parse_args(argv)
 
     os.environ["MMHARM_ENGINE"] = args.engine
@@ -194,7 +199,9 @@ def main(argv=None):
     with tempfile.TemporaryDirectory() as tmp:
         run, enc = build_run_dir(tmp, tiny=args.tiny)
         print("[bench-serving] model dir ready; loading server ...", flush=True)
+        t_load0 = time.perf_counter()
         httpd = srv.serve(run, enc, port=args.port, host="127.0.0.1")
+        load_s = time.perf_counter() - t_load0
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()
         url = f"http://127.0.0.1:{args.port}/invocations"
@@ -202,6 +209,34 @@ def main(argv=None):
         texts = [f"offensive tweet number {i} with several words" for i in range(512)]
 
         try:
+            if args.coldstart:
+                # serving cold-start budget (VERDICT r3 #8): serve() runs
+                # model_fn incl. the seq-bucket ladder prewarm compiles, so
+                # time-to-first-prediction = load_s + first request.
+                t0 = time.perf_counter()
+                post(url, {"text": texts[0], "image": images[0]})
+                first_small = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                post(url, {"instances": [
+                    {"text": texts[i % len(texts)],
+                     "image": images[i % len(images)]}
+                    for i in range(args.batch_size)
+                ]})
+                first_batch = time.perf_counter() - t0
+                result = {
+                    "metric": "serving_time_to_first_prediction",
+                    "unit": "s",
+                    "value": round(load_s + first_small, 2),
+                    "model_load_s": round(load_s, 2),
+                    "first_small_request_s": round(first_small, 2),
+                    "first_batch_request_s": round(first_batch, 2),
+                    "compile_cache": os.environ.get("MMHARM_COMPILE_CACHE", ""),
+                    "seq_buckets": args.seq_buckets,
+                    "engine": args.engine,
+                }
+                print(json.dumps(result))
+                return result
+
             # warmup (compile both padded-batch shapes: 1 and batch_size)
             post(url, {"text": texts[0], "image": images[0]})
             post(
