@@ -226,6 +226,8 @@ def init_from_encoder_dir(
             if isinstance(model, MultiTaskModel):
                 backbone.pop("text_projection", None)
                 backbone.pop("visual_projection", None)
+        else:
+            backbone = convert.siglip_params_from_torch(sd, model.siglip_config)
         params["backbone"] = jax.tree_util.tree_map(jnp.asarray, backbone)
     if dtype is not None:
         params = convert.to_dtype(params, dtype)
