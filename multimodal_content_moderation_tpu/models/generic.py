@@ -7,9 +7,11 @@ mean-pool fallbacks (``/root/reference/src/models/multitask.py:130-154``).
 The TPU-native equivalent is a config-driven dual encoder supporting the two
 standard HF tower architectures beyond CLIP/SigLIP:
 
-- **post-LN BERT-style text towers** (``model_type: bert/roberta``): word +
-  position + token-type embeddings -> LN, post-LN encoder layers, optional
-  tanh pooler over the CLS position.
+- **post-LN BERT-style text towers** (``model_type: bert``, the
+  roberta/camembert/xlm-roberta family with HF RoBERTa's pad-aware offset
+  position ids, and ``distilbert`` with its own module naming, no token-type
+  embeddings and no pooler): word + position (+ token-type) embeddings -> LN,
+  post-LN encoder layers, optional tanh pooler over the CLS position.
 - **pre-LN ViT-style vision towers** (``model_type: vit``): conv patch embed
   (expressed as patchify + dense -> a single clean MXU GEMM) + CLS token +
   learned positions, pre-LN encoder layers (reuses ``transformer_block``),
@@ -58,10 +60,18 @@ class GenericTextConfig:
     num_heads: int = 12
     intermediate_size: int = 3072
     max_positions: int = 512
-    type_vocab_size: int = 2
+    type_vocab_size: int = 2  # 0 = tower has no token-type embeddings
     pad_token_id: int = 0
     hidden_act: str = "gelu"
     layer_norm_eps: float = 1e-12
+    # "bert": HF BertModel naming/structure. "distilbert": HF DistilBertModel
+    # (no token-type embeddings, no pooler, transformer.layer.* naming).
+    arch: str = "bert"
+    # "absolute": positions 0..T-1 (BERT). "roberta": HF RoBERTa pad-aware ids
+    # — position i of a non-pad token = pad_token_id + (# non-pad tokens so
+    # far, 1-based); pads keep pad_token_id (RobertaEmbeddings.
+    # create_position_ids_from_input_ids).
+    position_style: str = "absolute"
     pooling: str = "pooler"  # "pooler" | "mean" | "cls"
     compute_dtype: str = "float32"
     scores_dtype: str = "float32"
@@ -106,18 +116,39 @@ class GenericDualConfig:
         v = d.get("vision_config", {})
         t_type = t.get("model_type", "bert")
         v_type = v.get("model_type", "vit")
-        if t_type not in ("bert", "roberta", "camembert", "xlm-roberta"):
+        roberta_family = ("roberta", "camembert", "xlm-roberta")
+        if t_type not in ("bert", "distilbert") + roberta_family:
             raise ValueError(
                 f"generic backend: unsupported text tower model_type {t_type!r} "
-                "(supported: bert-family; clip/siglip have dedicated backends)"
+                "(supported: bert/roberta/distilbert families; clip/siglip "
+                "have dedicated backends)"
             )
         if v_type not in ("vit",):
             raise ValueError(
                 f"generic backend: unsupported vision tower model_type {v_type!r} "
                 "(supported: vit; clip/siglip have dedicated backends)"
             )
-        return GenericDualConfig(
-            text=GenericTextConfig(
+        if t_type == "distilbert":
+            # DistilBertConfig uses its own key names (dim/n_layers/n_heads/
+            # hidden_dim/activation); no token-type embeddings, no pooler ->
+            # the reference's getattr(out, "pooler_output", None) falls back
+            # to the plain mean (multitask.py:141).
+            text = GenericTextConfig(
+                vocab_size=t.get("vocab_size", 30522),
+                hidden_size=t.get("dim", 768),
+                num_layers=t.get("n_layers", 6),
+                num_heads=t.get("n_heads", 12),
+                intermediate_size=t.get("hidden_dim", 3072),
+                max_positions=t.get("max_position_embeddings", 512),
+                type_vocab_size=0,
+                pad_token_id=t.get("pad_token_id", 0),
+                hidden_act=t.get("activation", "gelu"),
+                layer_norm_eps=1e-12,
+                arch="distilbert",
+                pooling="mean",
+            )
+        else:
+            text = GenericTextConfig(
                 vocab_size=t.get("vocab_size", 30522),
                 hidden_size=t.get("hidden_size", 768),
                 num_layers=t.get("num_hidden_layers", 12),
@@ -125,10 +156,17 @@ class GenericDualConfig:
                 intermediate_size=t.get("intermediate_size", 3072),
                 max_positions=t.get("max_position_embeddings", 512),
                 type_vocab_size=t.get("type_vocab_size", 2),
-                pad_token_id=t.get("pad_token_id", 0),
+                pad_token_id=t.get(
+                    "pad_token_id", 1 if t_type in roberta_family else 0
+                ),
                 hidden_act=t.get("hidden_act", "gelu"),
                 layer_norm_eps=t.get("layer_norm_eps", 1e-12),
-            ),
+                position_style=(
+                    "roberta" if t_type in roberta_family else "absolute"
+                ),
+            )
+        return GenericDualConfig(
+            text=text,
             vision=GenericVisionConfig(
                 hidden_size=v.get("hidden_size", 768),
                 num_layers=v.get("num_hidden_layers", 12),
@@ -181,44 +219,46 @@ def _layer_init(key, d, inter, dtype):
 def generic_init(rng: jax.Array, cfg: GenericDualConfig, dtype=jnp.float32) -> dict:
     kt, kv, kp = jax.random.split(rng, 3)
     t, v = cfg.text, cfg.vision
-    tks = jax.random.split(kt, t.num_layers + 2)
-    vks = jax.random.split(kv, v.num_layers + 2)
+    tks = jax.random.split(kt, t.num_layers + 4)
+    vks = jax.random.split(kv, v.num_layers + 4)
     n_patches = (v.image_size // v.patch_size) ** 2
+    text_model = {
+        "word_embeddings": jax.random.normal(
+            tks[0], (t.vocab_size, t.hidden_size), dtype
+        )
+        * 0.02,
+        "position_embeddings": jax.random.normal(
+            tks[1], (t.max_positions, t.hidden_size), dtype
+        )
+        * 0.02,
+        "emb_ln": _ln_init(t.hidden_size, dtype),
+        "layers": [
+            _layer_init(tks[4 + i], t.hidden_size, t.intermediate_size, dtype)
+            for i in range(t.num_layers)
+        ],
+    }
+    if t.type_vocab_size:
+        text_model["token_type_embeddings"] = (
+            jax.random.normal(tks[2], (t.type_vocab_size, t.hidden_size), dtype)
+            * 0.02
+        )
     params = {
-        "text_model": {
-            "word_embeddings": jax.random.normal(
-                tks[0], (t.vocab_size, t.hidden_size), dtype
-            )
-            * 0.02,
-            "position_embeddings": jax.random.normal(
-                tks[0], (t.max_positions, t.hidden_size), dtype
-            )
-            * 0.02,
-            "token_type_embeddings": jax.random.normal(
-                tks[0], (t.type_vocab_size, t.hidden_size), dtype
-            )
-            * 0.02,
-            "emb_ln": _ln_init(t.hidden_size, dtype),
-            "layers": [
-                _layer_init(tks[2 + i], t.hidden_size, t.intermediate_size, dtype)
-                for i in range(t.num_layers)
-            ],
-        },
+        "text_model": text_model,
         "vision_model": {
             "cls_token": jax.random.normal(vks[0], (1, 1, v.hidden_size), dtype)
             * 0.02,
             "position_embeddings": jax.random.normal(
-                vks[0], (n_patches + 1, v.hidden_size), dtype
+                vks[1], (n_patches + 1, v.hidden_size), dtype
             )
             * 0.02,
             "patch_embedding": _linear_init(
-                vks[1],
+                vks[2],
                 v.num_channels * v.patch_size * v.patch_size,
                 v.hidden_size,
                 dtype,
             ),
             "layers": [
-                _layer_init(vks[2 + i], v.hidden_size, v.intermediate_size, dtype)
+                _layer_init(vks[4 + i], v.hidden_size, v.intermediate_size, dtype)
                 for i in range(v.num_layers)
             ],
             "post_ln": _ln_init(v.hidden_size, dtype),
@@ -226,11 +266,11 @@ def generic_init(rng: jax.Array, cfg: GenericDualConfig, dtype=jnp.float32) -> d
     }
     if cfg.text.pooling == "pooler":
         params["text_model"]["pooler"] = _linear_init(
-            tks[1], t.hidden_size, t.hidden_size, dtype
+            tks[3], t.hidden_size, t.hidden_size, dtype
         )
     if cfg.vision.pooling == "pooler":
         params["vision_model"]["pooler"] = _linear_init(
-            vks[1], v.hidden_size, v.hidden_size, dtype
+            vks[3], v.hidden_size, v.hidden_size, dtype
         )
     if cfg.projection_dim:
         k1, k2 = jax.random.split(kp)
@@ -285,8 +325,11 @@ def _postln_block(
 
 def _pool(hidden: jnp.ndarray, p: dict, pooling: str, out_dtype) -> jnp.ndarray:
     """Reference pooling fallback chain (multitask.py:130-154): tanh pooler
-    when the tower has one, else plain unmasked mean / raw CLS."""
-    if pooling == "pooler":
+    when the tower has one, else plain unmasked mean / raw CLS. A config that
+    says "pooler" over a checkpoint converted without pooler weights
+    (add_pooling_layer=False) falls back to the mean — exactly the
+    reference's runtime ``pooler_output is None`` branch."""
+    if pooling == "pooler" and "pooler" in p:
         return jnp.tanh(dense(hidden[:, 0], p["pooler"])).astype(out_dtype)
     if pooling == "cls":
         return hidden[:, 0].astype(out_dtype)
@@ -303,12 +346,19 @@ def generic_text_hidden(
     p = params["text_model"]
     dt = jnp.dtype(cfg.compute_dtype)
     T = input_ids.shape[1]
-    x = (
-        p["word_embeddings"][input_ids]
-        + p["position_embeddings"][None, :T]
-        + p["token_type_embeddings"][0][None, None]
-    ).astype(dt)
-    x = layer_norm(x, p["emb_ln"], cfg.layer_norm_eps)
+    if cfg.position_style == "roberta":
+        # HF RobertaEmbeddings.create_position_ids_from_input_ids: non-pad
+        # token i gets pad_token_id + its 1-based count of non-pad tokens;
+        # pad positions stay at pad_token_id.
+        nonpad = (input_ids != cfg.pad_token_id).astype(jnp.int32)
+        pos_ids = jnp.cumsum(nonpad, axis=1) * nonpad + cfg.pad_token_id
+        pos = p["position_embeddings"][pos_ids]
+    else:
+        pos = p["position_embeddings"][None, :T]
+    x = p["word_embeddings"][input_ids] + pos
+    if "token_type_embeddings" in p:
+        x = x + p["token_type_embeddings"][0][None, None]
+    x = layer_norm(x.astype(dt), p["emb_ln"], cfg.layer_norm_eps)
     key_mask = None
     if attention_mask is not None:
         key_mask = (attention_mask.astype(jnp.float32) - 1.0) * -NEG_INF
@@ -459,15 +509,52 @@ def bert_tower_from_torch(
         "position_embeddings": _np_(
             sd[f"{p}embeddings.position_embeddings.weight"]
         ),
-        "token_type_embeddings": _np_(
+        "emb_ln": _ln(sd, f"{p}embeddings.LayerNorm"),
+        "layers": layers,
+    }
+    if f"{p}embeddings.token_type_embeddings.weight" in sd:
+        out["token_type_embeddings"] = _np_(
             sd[f"{p}embeddings.token_type_embeddings.weight"]
+        )
+    if f"{p}pooler.dense.weight" in sd:
+        out["pooler"] = _lin(sd, f"{p}pooler.dense")
+    return out
+
+
+def distilbert_tower_from_torch(
+    sd: Dict, cfg: GenericTextConfig, prefix: str = "text_model."
+) -> dict:
+    """HF DistilBertModel state dict -> our post-LN tower params. Same
+    post-LN block structure as BERT under different module names
+    (transformer.layer.i.{attention.{q,k,v,out}_lin, sa_layer_norm,
+    ffn.{lin1,lin2}, output_layer_norm}); no token-type embeddings, no
+    pooler."""
+    p = prefix
+    layers = []
+    for i in range(cfg.num_layers):
+        lp = f"{p}transformer.layer.{i}."
+        layers.append(
+            {
+                "attn": {
+                    "q": _lin(sd, lp + "attention.q_lin"),
+                    "k": _lin(sd, lp + "attention.k_lin"),
+                    "v": _lin(sd, lp + "attention.v_lin"),
+                    "o": _lin(sd, lp + "attention.out_lin"),
+                },
+                "ln1": _ln(sd, lp + "sa_layer_norm"),
+                "fc1": _lin(sd, lp + "ffn.lin1"),
+                "fc2": _lin(sd, lp + "ffn.lin2"),
+                "ln2": _ln(sd, lp + "output_layer_norm"),
+            }
+        )
+    return {
+        "word_embeddings": _np_(sd[f"{p}embeddings.word_embeddings.weight"]),
+        "position_embeddings": _np_(
+            sd[f"{p}embeddings.position_embeddings.weight"]
         ),
         "emb_ln": _ln(sd, f"{p}embeddings.LayerNorm"),
         "layers": layers,
     }
-    if f"{p}pooler.dense.weight" in sd:
-        out["pooler"] = _lin(sd, f"{p}pooler.dense")
-    return out
 
 
 def vit_tower_from_torch(
@@ -517,8 +604,13 @@ def generic_params_from_torch(
     sd: Dict, cfg: GenericDualConfig, prefix: str = ""
 ) -> dict:
     """VisionTextDualEncoderModel (or same-named towers) -> param pytree."""
+    text_fn = (
+        distilbert_tower_from_torch
+        if cfg.text.arch == "distilbert"
+        else bert_tower_from_torch
+    )
     params = {
-        "text_model": bert_tower_from_torch(sd, cfg.text, f"{prefix}text_model."),
+        "text_model": text_fn(sd, cfg.text, f"{prefix}text_model."),
         "vision_model": vit_tower_from_torch(
             sd, cfg.vision, f"{prefix}vision_model."
         ),

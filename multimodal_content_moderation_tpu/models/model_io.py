@@ -143,6 +143,8 @@ def load_encoder_config(encoder_dir: str, backend: str):
     # No config: fall back to canonical architectures
     if backend == "clip":
         return CLIPConfig.base_patch32()
+    if backend == "generic":
+        return GenericDualConfig()
     return SigLIPConfig.base_patch16_224()
 
 

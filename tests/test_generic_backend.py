@@ -30,6 +30,7 @@ from multimodal_content_moderation_tpu.models import model_io
 from multimodal_content_moderation_tpu.models.generic import (
     GenericDualConfig,
     bert_tower_from_torch,
+    distilbert_tower_from_torch,
     generic_image_features,
     generic_params_from_torch,
     generic_text_features,
@@ -189,6 +190,174 @@ def test_generic_mean_pool_fallback_matches_torch():
                             jnp.asarray(ids), jnp.asarray(mask), tcfg)
     )
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_generic_roberta_text_tower_matches_torch():
+    """RoBERTa-family towers use pad-aware offset position ids (HF
+    RobertaEmbeddings.create_position_ids_from_input_ids: positions start at
+    pad_token_id+1 and pads keep pad_token_id) — a plain 0-based gather
+    silently produces wrong features. Oracle parity incl. padded rows."""
+    torch.manual_seed(5)
+    rcfg_d = dict(
+        model_type="roberta",
+        vocab_size=120,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        intermediate_size=64,
+        max_position_embeddings=34,  # T + pad_token_id + 1 headroom
+        type_vocab_size=1,
+        pad_token_id=1,
+        hidden_act="gelu",
+        layer_norm_eps=1e-5,
+    )
+    roberta = transformers.RobertaModel(
+        transformers.RobertaConfig(
+            **{k: v for k, v in rcfg_d.items() if k != "model_type"}
+        )
+    ).eval()
+    cfg = GenericDualConfig.from_dict(
+        {"text_config": rcfg_d, "vision_config": TINY_VIT}
+    )
+    assert cfg.text.position_style == "roberta"
+    assert cfg.text.pad_token_id == 1
+    params = {
+        "text_model": jax.tree_util.tree_map(
+            jnp.asarray,
+            bert_tower_from_torch(roberta.state_dict(), cfg.text, prefix=""),
+        )
+    }
+    g = np.random.default_rng(6)
+    ids = g.integers(4, 119, size=(3, 12)).astype(np.int64)
+    ids[:, 0] = 0  # <s>
+    mask = np.ones((3, 12), np.int64)
+    mask[1, 7:] = 0
+    ids[1, 7:] = 1  # pad_token_id
+    with torch.no_grad():
+        ref = roberta(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).pooler_output.numpy()
+    got = np.asarray(
+        generic_text_pooled(params, jnp.asarray(ids), jnp.asarray(mask), cfg.text)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_generic_distilbert_text_tower_matches_torch():
+    """DistilBERT: no token-type embeddings, no pooler (-> plain-mean
+    pooling), DistilBert state-dict naming. Oracle parity incl. padded
+    rows."""
+    torch.manual_seed(7)
+    dcfg_d = dict(
+        model_type="distilbert",
+        vocab_size=120,
+        dim=32,
+        n_layers=2,
+        n_heads=2,
+        hidden_dim=64,
+        max_position_embeddings=32,
+        pad_token_id=0,
+        activation="gelu",
+    )
+    distil = transformers.DistilBertModel(
+        transformers.DistilBertConfig(
+            **{k: v for k, v in dcfg_d.items() if k != "model_type"}
+        )
+    ).eval()
+    cfg = GenericDualConfig.from_dict(
+        {"text_config": dcfg_d, "vision_config": TINY_VIT}
+    )
+    assert cfg.text.arch == "distilbert"
+    assert cfg.text.pooling == "mean"
+    assert cfg.text.type_vocab_size == 0
+    params = {
+        "text_model": jax.tree_util.tree_map(
+            jnp.asarray,
+            distilbert_tower_from_torch(distil.state_dict(), cfg.text, prefix=""),
+        )
+    }
+    assert "token_type_embeddings" not in params["text_model"]
+    g = np.random.default_rng(8)
+    ids = g.integers(4, 119, size=(3, 12)).astype(np.int64)
+    mask = np.ones((3, 12), np.int64)
+    mask[2, 5:] = 0
+    ids[2, 5:] = 0
+    with torch.no_grad():
+        ref = (
+            distil(input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask))
+            .last_hidden_state.mean(dim=1)
+            .numpy()
+        )
+    got = np.asarray(
+        generic_text_pooled(params, jnp.asarray(ids), jnp.asarray(mask), cfg.text)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_generic_from_dict_rejects_unsupported_towers():
+    with pytest.raises(ValueError, match="unsupported text tower"):
+        GenericDualConfig.from_dict(
+            {"text_config": {"model_type": "gpt2"}, "vision_config": TINY_VIT}
+        )
+    with pytest.raises(ValueError, match="unsupported vision tower"):
+        GenericDualConfig.from_dict(
+            {"text_config": TINY_BERT, "vision_config": {"model_type": "swin"}}
+        )
+
+
+def test_generic_pooler_config_without_pooler_params_falls_back_to_mean():
+    """ADVICE r4: pooling='pooler' over a checkpoint converted without pooler
+    weights must fall back to the mean (the reference's pooler_output-is-None
+    branch), not KeyError inside jit."""
+    torch.manual_seed(9)
+    bcfg = transformers.BertConfig(
+        **{k: v for k, v in TINY_BERT.items() if k != "model_type"}
+    )
+    bert = transformers.BertModel(bcfg, add_pooling_layer=False).eval()
+    cfg = GenericDualConfig.from_dict(
+        {"text_config": TINY_BERT, "vision_config": TINY_VIT}
+    )
+    assert cfg.text.pooling == "pooler"  # config still claims a pooler
+    params = {
+        "text_model": jax.tree_util.tree_map(
+            jnp.asarray,
+            bert_tower_from_torch(bert.state_dict(), cfg.text, prefix=""),
+        )
+    }
+    assert "pooler" not in params["text_model"]
+    ids, mask, _ = _inputs(seed=10)
+    with torch.no_grad():
+        ref = (
+            bert(input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask))
+            .last_hidden_state.mean(dim=1)
+            .numpy()
+        )
+    got = np.asarray(
+        generic_text_pooled(params, jnp.asarray(ids), jnp.asarray(mask), cfg.text)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_generic_init_distinct_rng_streams():
+    """ADVICE r4: from-scratch init must not reuse RNG keys across
+    parameters (position_embeddings used to equal the first rows of
+    word_embeddings' stream; patch_embedding and the vision pooler used to
+    get identical matrices)."""
+    from multimodal_content_moderation_tpu.models.generic import generic_init
+
+    cfg = GenericDualConfig.from_dict(
+        {"text_config": TINY_BERT, "vision_config": TINY_VIT}
+    )
+    p = generic_init(jax.random.key(0), cfg)
+    tm, vm = p["text_model"], p["vision_model"]
+    assert not np.allclose(
+        np.asarray(tm["word_embeddings"])[: tm["position_embeddings"].shape[0]],
+        np.asarray(tm["position_embeddings"]),
+    )
+    assert not np.allclose(
+        np.asarray(vm["patch_embedding"]["w"])[: 32, :],
+        np.asarray(vm["pooler"]["w"])[:32, :],
+    )
 
 
 def test_generic_fusion_forward_from_encoder_dir(vtde):
