@@ -105,43 +105,203 @@ def mtl_head_to_torch(h: dict) -> Dict:
     return sd
 
 
-def fusion_model_to_torch(params: dict, model) -> Dict:
-    """Fusion checkpoint -> reference ``backbone.*`` + head keys (CLIP)."""
-    assert model.backend == "clip", "export currently targets the CLIP families"
-    cfg = model.clip_config
+def siglip_text_tower_to_torch(t: dict, prefix: str = "text_model.") -> Dict:
+    sd: Dict = {}
+    sd[f"{prefix}embeddings.token_embedding.weight"] = _np32(t["token_embedding"]).copy()
+    sd[f"{prefix}embeddings.position_embedding.weight"] = _np32(
+        t["position_embedding"]
+    ).copy()
+    _encoder_layers_out(sd, f"{prefix}encoder", t["layers"])
+    _ln_out(sd, f"{prefix}final_layer_norm", t["final_ln"])
+    _linear_out(sd, f"{prefix}head", t["head"])
+    return sd
+
+
+def siglip_vision_tower_to_torch(
+    v: dict, patch_size: int, num_channels: int = 3, prefix: str = "vision_model."
+) -> Dict:
+    """Inverse of convert.siglip_params_from_torch's vision branch, incl. the
+    MAP head's fused ``nn.MultiheadAttention`` in_proj re-assembly."""
+    sd: Dict = {}
+    w = _np32(v["patch_embedding"]["w"]).T  # (D, C*p*p)
+    sd[f"{prefix}embeddings.patch_embedding.weight"] = np.ascontiguousarray(
+        w.reshape(w.shape[0], num_channels, patch_size, patch_size)
+    )
+    sd[f"{prefix}embeddings.patch_embedding.bias"] = _np32(
+        v["patch_embedding"]["b"]
+    ).copy()
+    sd[f"{prefix}embeddings.position_embedding.weight"] = _np32(
+        v["position_embedding"]
+    ).copy()
+    _encoder_layers_out(sd, f"{prefix}encoder", v["layers"])
+    _ln_out(sd, f"{prefix}post_layernorm", v["post_ln"])
+    m = v["map_head"]
+    sd[f"{prefix}head.probe"] = _np32(m["probe"]).copy()
+    a = m["attn"]
+    sd[f"{prefix}head.attention.in_proj_weight"] = np.ascontiguousarray(
+        np.concatenate(
+            [_np32(a["q"]["w"]).T, _np32(a["k"]["w"]).T, _np32(a["v"]["w"]).T],
+            axis=0,
+        )
+    )
+    sd[f"{prefix}head.attention.in_proj_bias"] = np.ascontiguousarray(
+        np.concatenate([_np32(a["q"]["b"]), _np32(a["k"]["b"]), _np32(a["v"]["b"])])
+    )
+    _linear_out(sd, f"{prefix}head.attention.out_proj", a["o"])
+    _ln_out(sd, f"{prefix}head.layernorm", m["ln"])
+    _linear_out(sd, f"{prefix}head.mlp.fc1", m["fc1"])
+    _linear_out(sd, f"{prefix}head.mlp.fc2", m["fc2"])
+    return sd
+
+
+def bert_text_tower_to_torch(
+    t: dict, prefix: str = "text_model.", arch: str = "bert"
+) -> Dict:
+    """Inverse of generic.bert_tower_from_torch / distilbert_tower_from_torch."""
+    p = prefix
+    sd: Dict = {}
+    sd[f"{p}embeddings.word_embeddings.weight"] = _np32(t["word_embeddings"]).copy()
+    sd[f"{p}embeddings.position_embeddings.weight"] = _np32(
+        t["position_embeddings"]
+    ).copy()
+    if "token_type_embeddings" in t:
+        sd[f"{p}embeddings.token_type_embeddings.weight"] = _np32(
+            t["token_type_embeddings"]
+        ).copy()
+    _ln_out(sd, f"{p}embeddings.LayerNorm", t["emb_ln"])
+    for i, l in enumerate(t["layers"]):
+        if arch == "distilbert":
+            lp = f"{p}transformer.layer.{i}."
+            _linear_out(sd, lp + "attention.q_lin", l["attn"]["q"])
+            _linear_out(sd, lp + "attention.k_lin", l["attn"]["k"])
+            _linear_out(sd, lp + "attention.v_lin", l["attn"]["v"])
+            _linear_out(sd, lp + "attention.out_lin", l["attn"]["o"])
+            _ln_out(sd, lp + "sa_layer_norm", l["ln1"])
+            _linear_out(sd, lp + "ffn.lin1", l["fc1"])
+            _linear_out(sd, lp + "ffn.lin2", l["fc2"])
+            _ln_out(sd, lp + "output_layer_norm", l["ln2"])
+        else:
+            lp = f"{p}encoder.layer.{i}."
+            _linear_out(sd, lp + "attention.self.query", l["attn"]["q"])
+            _linear_out(sd, lp + "attention.self.key", l["attn"]["k"])
+            _linear_out(sd, lp + "attention.self.value", l["attn"]["v"])
+            _linear_out(sd, lp + "attention.output.dense", l["attn"]["o"])
+            _ln_out(sd, lp + "attention.output.LayerNorm", l["ln1"])
+            _linear_out(sd, lp + "intermediate.dense", l["fc1"])
+            _linear_out(sd, lp + "output.dense", l["fc2"])
+            _ln_out(sd, lp + "output.LayerNorm", l["ln2"])
+    if "pooler" in t:
+        _linear_out(sd, f"{p}pooler.dense", t["pooler"])
+    return sd
+
+
+def vit_vision_tower_to_torch(
+    v: dict, patch_size: int, num_channels: int = 3, prefix: str = "vision_model."
+) -> Dict:
+    """Inverse of generic.vit_tower_from_torch (HF ViTModel naming)."""
+    p = prefix
+    sd: Dict = {}
+    sd[f"{p}embeddings.cls_token"] = _np32(v["cls_token"]).copy()
+    sd[f"{p}embeddings.position_embeddings"] = _np32(v["position_embeddings"])[
+        None
+    ].copy()
+    w = _np32(v["patch_embedding"]["w"]).T  # (D, C*p*p)
+    sd[f"{p}embeddings.patch_embeddings.projection.weight"] = np.ascontiguousarray(
+        w.reshape(w.shape[0], num_channels, patch_size, patch_size)
+    )
+    sd[f"{p}embeddings.patch_embeddings.projection.bias"] = _np32(
+        v["patch_embedding"]["b"]
+    ).copy()
+    for i, l in enumerate(v["layers"]):
+        lp = f"{p}encoder.layer.{i}."
+        _ln_out(sd, lp + "layernorm_before", l["ln1"])
+        _linear_out(sd, lp + "attention.attention.query", l["attn"]["q"])
+        _linear_out(sd, lp + "attention.attention.key", l["attn"]["k"])
+        _linear_out(sd, lp + "attention.attention.value", l["attn"]["v"])
+        _linear_out(sd, lp + "attention.output.dense", l["attn"]["o"])
+        _ln_out(sd, lp + "layernorm_after", l["ln2"])
+        _linear_out(sd, lp + "intermediate.dense", l["fc1"])
+        _linear_out(sd, lp + "output.dense", l["fc2"])
+    _ln_out(sd, f"{p}layernorm", v["post_ln"])
+    if "pooler" in v:
+        _linear_out(sd, f"{p}pooler.dense", v["pooler"])
+    return sd
+
+
+def _backbone_to_torch(params: dict, model, out_prefix: str) -> Dict:
+    """Backbone pytree -> reference torch keys under ``out_prefix`` for any of
+    the three backends (clip / siglip / generic)."""
     bp = params["backbone"]
     sd: Dict = {}
-    for k, v in clip_text_tower_to_torch(bp["text_model"]).items():
-        sd[f"backbone.{k}"] = v
-    for k, v in clip_vision_tower_to_torch(
-        bp["vision_model"], cfg.vision.patch_size, cfg.vision.num_channels
-    ).items():
-        sd[f"backbone.{k}"] = v
-    sd["backbone.text_projection.weight"] = _np32(bp["text_projection"]["w"]).T.copy()
-    sd["backbone.visual_projection.weight"] = _np32(
-        bp["visual_projection"]["w"]
-    ).T.copy()
-    if "logit_scale" in bp:
-        sd["backbone.logit_scale"] = _np32(bp["logit_scale"]).copy()
+    if model.backend == "clip":
+        cfg = model.clip_config
+        for k, v in clip_text_tower_to_torch(bp["text_model"]).items():
+            sd[f"{out_prefix}{k}"] = v
+        for k, v in clip_vision_tower_to_torch(
+            bp["vision_model"], cfg.vision.patch_size, cfg.vision.num_channels
+        ).items():
+            sd[f"{out_prefix}{k}"] = v
+    elif model.backend == "generic":
+        cfg = model.generic_config
+        for k, v in bert_text_tower_to_torch(
+            bp["text_model"], arch=cfg.text.arch
+        ).items():
+            sd[f"{out_prefix}{k}"] = v
+        for k, v in vit_vision_tower_to_torch(
+            bp["vision_model"], cfg.vision.patch_size, cfg.vision.num_channels
+        ).items():
+            sd[f"{out_prefix}{k}"] = v
+    else:
+        cfg = model.siglip_config
+        for k, v in siglip_text_tower_to_torch(bp["text_model"]).items():
+            sd[f"{out_prefix}{k}"] = v
+        for k, v in siglip_vision_tower_to_torch(
+            bp["vision_model"], cfg.vision.patch_size, cfg.vision.num_channels
+        ).items():
+            sd[f"{out_prefix}{k}"] = v
+    for name in ("text_projection", "visual_projection"):
+        if name in bp:
+            sd[f"{out_prefix}{name}.weight"] = _np32(bp[name]["w"]).T.copy()
+    # HF SiglipModel stores logit_scale/logit_bias as shape-(1,) parameters;
+    # CLIPModel / VisionTextDualEncoderModel use scalars.
+    for name in ("logit_scale", "logit_bias"):
+        if name in bp:
+            leaf = _np32(bp[name]).copy()
+            if model.backend not in ("clip", "generic"):  # siglip family
+                leaf = leaf.reshape(1)
+            sd[f"{out_prefix}{name}"] = leaf
+    return sd
+
+
+def fusion_model_to_torch(params: dict, model) -> Dict:
+    """Fusion checkpoint -> reference ``backbone.*`` + head keys (all three
+    backends; the reference loads them via scripts/evaluate.py:139-151)."""
+    sd = _backbone_to_torch(params, model, "backbone.")
     sd.update(fusion_head_to_torch(params["head"]))
     return sd
 
 
 def mtl_model_to_torch(params: dict, model) -> Dict:
-    """MTL checkpoint -> reference ``tower_txt./tower_img.`` + head keys."""
-    assert model.backend == "clip", "export currently targets the CLIP families"
-    cfg = model.clip_config
-    bp = params["backbone"]
-    sd: Dict = {}
-    for k, v in clip_text_tower_to_torch(
-        bp["text_model"], prefix="text_model."
-    ).items():
-        sd[f"tower_txt.{k}"] = v
-    for k, v in clip_vision_tower_to_torch(
-        bp["vision_model"], cfg.vision.patch_size, cfg.vision.num_channels,
-        prefix="vision_model.",
-    ).items():
-        sd[f"tower_img.{k}"] = v
+    """MTL checkpoint -> reference key layout: CLIP uses separate
+    ``tower_txt.text_model.*``/``tower_img.vision_model.*`` towers
+    (multitask.py:61-62); the auto path (siglip/generic) shares one
+    ``backbone.*`` AutoModel (multitask.py:74)."""
+    sd: Dict
+    if model.backend == "clip":
+        cfg = model.clip_config
+        bp = params["backbone"]
+        sd = {}
+        for k, v in clip_text_tower_to_torch(
+            bp["text_model"], prefix="text_model."
+        ).items():
+            sd[f"tower_txt.{k}"] = v
+        for k, v in clip_vision_tower_to_torch(
+            bp["vision_model"], cfg.vision.patch_size, cfg.vision.num_channels,
+            prefix="vision_model.",
+        ).items():
+            sd[f"tower_img.{k}"] = v
+    else:
+        sd = _backbone_to_torch(params, model, "backbone.")
     sd.update(mtl_head_to_torch(params["head"]))
     return sd
 

@@ -623,4 +623,8 @@ def generic_params_from_torch(
         params["visual_projection"] = {
             "w": _np_(sd[f"{prefix}visual_projection.weight"]).T
         }
+    # VisionTextDualEncoderModel carries a scalar logit_scale; unused by the
+    # fusion/MTL forwards but kept so export round-trips the full checkpoint.
+    if f"{prefix}logit_scale" in sd:
+        params["logit_scale"] = _np_(sd[f"{prefix}logit_scale"])
     return params
