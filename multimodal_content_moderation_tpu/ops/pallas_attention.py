@@ -103,6 +103,45 @@ def attention_small(
     )(*operands)
 
 
+def _padded_seq_len(T: int) -> int:
+    """Mosaic compile-pathology guard for the nhd kernels. T=197 (the
+    ViT-with-CLS length) measured a 352 s Mosaic compile vs 4.8 s after
+    padding to 200 on the same shape — the compiler's masking for awkward
+    sublane remainders at larger T blows up. Empirically-known-good shapes
+    (50, 77, 196 and every bucket < 128) are left untouched; only T >= 128
+    with a remainder outside {0, 4} is padded up to the next multiple of 8.
+    """
+    if T >= 128 and T % 8 not in (0, 4):
+        return -(-T // 8) * 8
+    return T
+
+
+def _pad_pathological_seq(q, k, v, key_mask):
+    """Zero-pad q (queries) and k/v (keys) along the seq axis to
+    ``_padded_seq_len`` lengths; padded KEY columns are masked with a large
+    negative additive bias (creating a key_mask if none existed). Padded
+    QUERY rows produce garbage outputs the caller slices off. Causal stays
+    valid: pad positions sit after every real position."""
+    B, Tq, _ = q.shape
+    S = k.shape[1]
+    Tq_p, S_p = _padded_seq_len(Tq), _padded_seq_len(S)
+    if Tq_p == Tq and S_p == S:
+        return q, k, v, key_mask
+    if Tq_p != Tq:
+        q = jnp.pad(q, ((0, 0), (0, Tq_p - Tq), (0, 0)))
+    if S_p != S:
+        k = jnp.pad(k, ((0, 0), (0, S_p - S), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, S_p - S), (0, 0)))
+        km = (
+            key_mask.astype(jnp.float32)
+            if key_mask is not None
+            else jnp.zeros((B, S), jnp.float32)
+        )
+        # -1e9 (not -max_float): additive on fp32 scores without overflow
+        key_mask = jnp.pad(km, ((0, 0), (0, S_p - S)), constant_values=-1e9)
+    return q, k, v, key_mask
+
+
 def _snap_to_divisor(B: int, block_b: int) -> int:
     """Halve ``block_b`` until it divides ``B``. Halving (never decrementing)
     keeps batch blocks power-of-2/sublane-aligned: non-power-of-2 blocks
@@ -225,7 +264,9 @@ def attention_nhd(
     HBM). This raw call defines no VJP; use ``attention_nhd_diff`` (custom
     VJP with the recompute backward kernel below) for the training path.
     """
-    B, Tq, D = q.shape
+    B, _orig_Tq, D = q.shape
+    q, k, v, key_mask = _pad_pathological_seq(q, k, v, key_mask)
+    Tq = q.shape[1]
     S = k.shape[1]
     dh = D // num_heads
     scale = float(dh) ** -0.5
@@ -274,7 +315,7 @@ def attention_nhd(
         kernel = functools.partial(
             _nhd_kernel_nokm, scale=scale, causal=causal, num_heads=hpb
         )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(B // block_b, num_heads // hpb),
         in_specs=in_specs,
@@ -288,6 +329,7 @@ def attention_nhd(
         ),
         interpret=interpret,
     )(*operands)
+    return out if Tq == _orig_Tq else out[:, :_orig_Tq]
 
 
 def _nhd_bwd_body(
@@ -377,7 +419,13 @@ def _nhd_bwd_kernel_nokm(q, k, v, do, dq, dk, dv, *, scale, causal, num_heads):
 def _attention_nhd_bwd_call(
     q, k, v, do, key_mask, num_heads, causal=False, block_b=0, interpret=False
 ):
-    B, Tq, D = q.shape
+    B, _orig_Tq, D = q.shape
+    _orig_S = k.shape[1]
+    q, k, v, key_mask = _pad_pathological_seq(q, k, v, key_mask)
+    if q.shape[1] != _orig_Tq:
+        # padded query rows carry zero cotangent -> zero extra gradient
+        do = jnp.pad(do, ((0, 0), (0, q.shape[1] - _orig_Tq), (0, 0)))
+    Tq = q.shape[1]
     S = k.shape[1]
     dh = D // num_heads
     scale = float(dh) ** -0.5
@@ -417,7 +465,7 @@ def _attention_nhd_bwd_call(
         kernel = functools.partial(
             _nhd_bwd_kernel_nokm, scale=scale, causal=causal, num_heads=hpb
         )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(B // block_b, num_heads // hpb),
         in_specs=in_specs,
@@ -434,6 +482,10 @@ def _attention_nhd_bwd_call(
         ),
         interpret=interpret,
     )(*operands)
+    if Tq != _orig_Tq or S != _orig_S:
+        dq, dk, dv = out
+        return dq[:, :_orig_Tq], dk[:, :_orig_S], dv[:, :_orig_S]
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))

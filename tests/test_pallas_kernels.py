@@ -203,6 +203,12 @@ class TestAttentionNHD:
             (6, 77, 8, True, True, 0),  # CLIP text (causal + padding)
             (3, 64, 12, False, True, 2),  # SigLIP text (padding only)
             (5, 196, 12, False, False, 0),  # B=5: block_b divisor fallback
+            # T=197 (ViT+CLS, generic backend): the Mosaic compile-pathology
+            # shape — exercises the internal pad-to-200 + masked-pad-keys
+            # shim (_pad_pathological_seq); must stay EXACT
+            (4, 197, 12, False, False, 0),
+            (4, 197, 12, False, True, 0),
+            (2, 131, 4, True, True, 0),  # odd >=128, causal + padding
         ],
     )
     def test_matches_reference(self, B, T, h, causal, with_km, bb):
@@ -282,7 +288,12 @@ class TestAttentionNHD:
 
     @pytest.mark.parametrize(
         "B,T,h,causal,with_km",
-        [(4, 50, 12, False, False), (3, 77, 8, True, True)],
+        [
+            (4, 50, 12, False, False),
+            (3, 77, 8, True, True),
+            # pathological seq (pad shim active in fwd AND bwd kernels)
+            (2, 131, 4, False, True),
+        ],
     )
     def test_vjp_matches_xla_autodiff(self, B, T, h, causal, with_km):
         """attention_nhd_diff's recompute backward kernel vs jax.grad through
