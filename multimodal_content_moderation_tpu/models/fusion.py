@@ -206,8 +206,14 @@ class FusionModel:
         return embed_for_model(self, bp, patches_u8)
 
     def encode(
-        self, params: dict, batch: Dict[str, jnp.ndarray]
+        self,
+        params: dict,
+        batch: Dict[str, jnp.ndarray],
+        dropout_rng: Optional[jax.Array] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """``dropout_rng`` activates train-mode tower dropout where a backend
+        has it (generic BERT-family text towers, HF defaults 0.1 — the
+        CLIP/SigLIP towers are dropout-free at their HF defaults)."""
         bp = params["backbone"]
         u8 = batch.get("patches_u8")
         if self.backend == "clip":
@@ -222,7 +228,8 @@ class FusionModel:
                 v = clip_mod.clip_image_features(bp, batch["pixel_values"], self.clip_config)
         elif self.backend == "generic":
             t = generic_mod.generic_text_features(
-                bp, batch["input_ids"], batch.get("attention_mask"), self.generic_config
+                bp, batch["input_ids"], batch.get("attention_mask"),
+                self.generic_config, dropout_rng=dropout_rng,
             )
             if u8 is not None:
                 v = generic_mod.generic_image_features_from_tokens(
@@ -253,7 +260,10 @@ class FusionModel:
         pos_weight: Optional[jnp.ndarray] = None,
         alpha_focal: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
-        tfeat, vfeat = self.encode(params, batch)
+        enc_rng = None
+        if dropout_rng is not None and self.backend == "generic":
+            dropout_rng, enc_rng = jax.random.split(dropout_rng)
+        tfeat, vfeat = self.encode(params, batch, dropout_rng=enc_rng)
         logits = fusion_head_apply(
             params["head"],
             tfeat,

@@ -43,6 +43,7 @@ import numpy as np
 from multimodal_content_moderation_tpu.ops.layers import (
     ACTIVATIONS,
     dense,
+    dropout,
     layer_norm,
     mha,
     patchify,
@@ -73,6 +74,11 @@ class GenericTextConfig:
     # create_position_ids_from_input_ids).
     position_style: str = "absolute"
     pooling: str = "pooler"  # "pooler" | "mean" | "cls"
+    # Train-time dropout (HF Bert/DistilBert default 0.1 on both; the
+    # reference fine-tunes with it active). Applied only when a dropout rng
+    # is threaded through the forward — eval is always deterministic.
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
     compute_dtype: str = "float32"
     scores_dtype: str = "float32"
     attention_impl: str = "xla"
@@ -128,6 +134,16 @@ class GenericDualConfig:
                 f"generic backend: unsupported vision tower model_type {v_type!r} "
                 "(supported: vit; clip/siglip have dedicated backends)"
             )
+        if float(v.get("hidden_dropout_prob", 0.0)) > 0.0 or float(
+            v.get("attention_probs_dropout_prob", 0.0)
+        ) > 0.0:
+            # HF ViT defaults to 0.0 on both; a nonzero value would silently
+            # diverge at train time (the shared pre-LN block has no dropout
+            # hook), so refuse rather than be silently wrong
+            raise ValueError(
+                "generic backend: nonzero vision-tower dropout is not "
+                "supported (HF ViT defaults are 0.0)"
+            )
         if t_type == "distilbert":
             # DistilBertConfig uses its own key names (dim/n_layers/n_heads/
             # hidden_dim/activation); no token-type embeddings, no pooler ->
@@ -146,6 +162,8 @@ class GenericDualConfig:
                 layer_norm_eps=1e-12,
                 arch="distilbert",
                 pooling="mean",
+                hidden_dropout_prob=t.get("dropout", 0.1),
+                attention_probs_dropout_prob=t.get("attention_dropout", 0.1),
             )
         else:
             text = GenericTextConfig(
@@ -163,6 +181,10 @@ class GenericDualConfig:
                 layer_norm_eps=t.get("layer_norm_eps", 1e-12),
                 position_style=(
                     "roberta" if t_type in roberta_family else "absolute"
+                ),
+                hidden_dropout_prob=t.get("hidden_dropout_prob", 0.1),
+                attention_probs_dropout_prob=t.get(
+                    "attention_probs_dropout_prob", 0.1
                 ),
             )
         return GenericDualConfig(
@@ -299,28 +321,36 @@ def _postln_block(
     p: dict,
     cfg: GenericTextConfig,
     key_mask: Optional[jnp.ndarray],
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """BERT-style post-LN encoder layer: attn -> +res -> LN,
-    mlp -> +res -> LN (HF BertLayer semantics)."""
+    mlp -> +res -> LN (HF BertLayer semantics). With a ``dropout_rng``
+    (train mode) the HF dropout sites are active: attention probabilities
+    (BertSelfAttention), the post-attention dense (BertSelfOutput) and the
+    MLP output dense (BertOutput), each before its residual add."""
 
-    def block(x, p, key_mask):
+    def block(x, p, key_mask, rng):
         act = ACTIVATIONS[cfg.hidden_act]
-        x = layer_norm(
-            x
-            + mha(
-                x, x, p["attn"], cfg.num_heads,
-                impl=cfg.attention_impl, scores_dtype=cfg.scores_dtype,
-                key_mask=key_mask,
-            ),
-            p["ln1"],
-            cfg.layer_norm_eps,
+        if rng is not None:
+            r_probs, r_attn, r_mlp = jax.random.split(rng, 3)
+        else:
+            r_probs = r_attn = r_mlp = None
+        attn_out = mha(
+            x, x, p["attn"], cfg.num_heads,
+            impl=cfg.attention_impl, scores_dtype=cfg.scores_dtype,
+            key_mask=key_mask,
+            probs_dropout=cfg.attention_probs_dropout_prob,
+            dropout_rng=r_probs,
         )
+        attn_out = dropout(attn_out, cfg.hidden_dropout_prob, r_attn)
+        x = layer_norm(x + attn_out, p["ln1"], cfg.layer_norm_eps)
         y = act(dense(x, p["fc1"]))
-        return layer_norm(x + dense(y, p["fc2"]), p["ln2"], cfg.layer_norm_eps)
+        y = dropout(dense(y, p["fc2"]), cfg.hidden_dropout_prob, r_mlp)
+        return layer_norm(x + y, p["ln2"], cfg.layer_norm_eps)
 
     if cfg.remat:
-        return jax.checkpoint(block)(x, p, key_mask)
-    return block(x, p, key_mask)
+        return jax.checkpoint(block)(x, p, key_mask, dropout_rng)
+    return block(x, p, key_mask, dropout_rng)
 
 
 def _pool(hidden: jnp.ndarray, p: dict, pooling: str, out_dtype) -> jnp.ndarray:
@@ -341,8 +371,14 @@ def generic_text_hidden(
     input_ids: jnp.ndarray,
     attention_mask: Optional[jnp.ndarray],
     cfg: GenericTextConfig,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """BERT-style tower -> last_hidden_state [B, T, D]."""
+    """BERT-style tower -> last_hidden_state [B, T, D].
+
+    ``dropout_rng`` enables HF train-mode dropout (embedding output,
+    attention probabilities, per-layer dense outputs at
+    ``hidden_dropout_prob``/``attention_probs_dropout_prob``); ``None`` =
+    eval (deterministic, the parity path)."""
     p = params["text_model"]
     dt = jnp.dtype(cfg.compute_dtype)
     T = input_ids.shape[1]
@@ -359,12 +395,21 @@ def generic_text_hidden(
     if "token_type_embeddings" in p:
         x = x + p["token_type_embeddings"][0][None, None]
     x = layer_norm(x.astype(dt), p["emb_ln"], cfg.layer_norm_eps)
-    key_mask = None
-    if attention_mask is not None:
-        key_mask = (attention_mask.astype(jnp.float32) - 1.0) * -NEG_INF
-    for layer in p["layers"]:
-        x = _postln_block(x, layer, cfg, key_mask)
+    rngs = [None] * (len(p["layers"]) + 1)
+    if dropout_rng is not None:
+        rngs = list(jax.random.split(dropout_rng, len(p["layers"]) + 1))
+    x = dropout(x, cfg.hidden_dropout_prob, rngs[0])  # BertEmbeddings dropout
+    key_mask = key_mask_from(attention_mask)
+    for layer, rng in zip(p["layers"], rngs[1:]):
+        x = _postln_block(x, layer, cfg, key_mask, rng)
     return x
+
+
+def key_mask_from(attention_mask: Optional[jnp.ndarray]):
+    """[B, T] 0/1 attention mask -> additive fp32 key bias (or None)."""
+    if attention_mask is None:
+        return None
+    return (attention_mask.astype(jnp.float32) - 1.0) * -NEG_INF
 
 
 def generic_text_pooled(
@@ -372,8 +417,11 @@ def generic_text_pooled(
     input_ids: jnp.ndarray,
     attention_mask: Optional[jnp.ndarray],
     cfg: GenericTextConfig,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    hidden = generic_text_hidden(params, input_ids, attention_mask, cfg)
+    hidden = generic_text_hidden(
+        params, input_ids, attention_mask, cfg, dropout_rng
+    )
     return _pool(hidden, params["text_model"], cfg.pooling, jnp.float32)
 
 
@@ -420,10 +468,13 @@ def generic_text_features(
     input_ids: jnp.ndarray,
     attention_mask: Optional[jnp.ndarray],
     cfg: GenericDualConfig,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """``get_text_features`` parity: pooled tower, then the checkpoint's
     bias-free text projection when present."""
-    pooled = generic_text_pooled(params, input_ids, attention_mask, cfg.text)
+    pooled = generic_text_pooled(
+        params, input_ids, attention_mask, cfg.text, dropout_rng
+    )
     proj = params.get("text_projection")
     if proj is not None:
         pooled = pooled @ proj["w"].astype(pooled.dtype)

@@ -249,8 +249,13 @@ class MultiTaskModel:
         return embed_for_model(self, bp, patches_u8)
 
     def encode(
-        self, params: dict, batch: Dict[str, jnp.ndarray]
+        self,
+        params: dict,
+        batch: Dict[str, jnp.ndarray],
+        dropout_rng: Optional[jax.Array] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """``dropout_rng`` activates train-mode tower dropout where a backend
+        has it (generic BERT-family text towers — see FusionModel.encode)."""
         bp = params["backbone"]
         u8 = batch.get("patches_u8")
         if self.backend == "clip":
@@ -268,7 +273,8 @@ class MultiTaskModel:
         elif self.backend == "generic":
             gcfg = self.generic_config
             t = generic_mod.generic_text_pooled(
-                bp, batch["input_ids"], batch.get("attention_mask"), gcfg.text
+                bp, batch["input_ids"], batch.get("attention_mask"), gcfg.text,
+                dropout_rng=dropout_rng,
             )
             if u8 is not None:
                 tokens = self._embed_u8(bp, u8)
@@ -309,7 +315,10 @@ class MultiTaskModel:
         dropout_rng: Optional[jax.Array] = None,
         pos_weight: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
-        tfeat, vfeat = self.encode(params, batch)
+        enc_rng = None
+        if dropout_rng is not None and self.backend == "generic":
+            dropout_rng, enc_rng = jax.random.split(dropout_rng)
+        tfeat, vfeat = self.encode(params, batch, dropout_rng=enc_rng)
         logits = mtl_head_apply(
             params["head"],
             tfeat,

@@ -63,6 +63,17 @@ def dense(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
+def dense_maybe_int8(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """``dense`` that honors an int8-quantized leaf (``ops/quant.py`` swaps
+    ``{"w"}`` for ``{"w_i8", "scale"}``; dispatch is pytree-structural, so
+    it resolves at trace time)."""
+    if "w_i8" in p:
+        from multimodal_content_moderation_tpu.ops.quant import dense_int8
+
+        return dense_int8(x, p)
+    return dense(x, p)
+
+
 def layer_norm(x: jnp.ndarray, p: dict, eps: float = 1e-5) -> jnp.ndarray:
     """LayerNorm over the last axis with fp32 statistics.
 
@@ -112,6 +123,8 @@ def mha(
     scores_dtype: str = "float32",
     causal: bool = False,
     key_mask: Optional[jnp.ndarray] = None,
+    probs_dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Multi-head attention with fp32 softmax.
 
@@ -138,11 +151,16 @@ def mha(
     h = num_heads
     dh = D // h
 
+    # HF-style attention-probability dropout (BERT/ViT towers fine-tune with
+    # it active). Training-only; forces the XLA core — the fused kernels are
+    # eval/parity paths and never see a dropout rng.
+    drop_active = probs_dropout > 0.0 and dropout_rng is not None
+
     q3 = dense(x_q, p["q"])
     k3 = dense(x_kv, p["k"])
     v3 = dense(x_kv, p["v"])
 
-    if Tq == 1 and mask is None and key_mask is None and not causal:
+    if Tq == 1 and mask is None and key_mask is None and not causal and not drop_active:
         # Single-query pooled attention (the SigLIP MAP head,
         # models/siglip._map_head). With M=1 the generic batched-GEMM path
         # degenerates into B*h [1,dh]x[dh,Tk] matmuls plus [B,h,1,dh] layout
@@ -160,7 +178,7 @@ def mha(
         out = out.astype(x_q.dtype).reshape(B, 1, D)
         return dense(out, p["o"])
 
-    if impl == "pallas" and mask is None and max(Tq, Tk) <= 256:
+    if impl == "pallas" and mask is None and max(Tq, Tk) <= 256 and not drop_active:
         # short-seq kernel consumes the natural [B, T, D] GEMM layout: no
         # [B, h, T, dh] transpose exists in the HLO (the XLA path's layout
         # copies cost 5.4 ms/batch at B=192/T=50 — see ops/pallas_attention).
@@ -180,7 +198,7 @@ def mha(
     k = k3.reshape(B, Tk, h, dh).transpose(0, 2, 1, 3)
     v = v3.reshape(B, Tk, h, dh).transpose(0, 2, 1, 3)
 
-    if impl == "pallas":
+    if impl == "pallas" and not drop_active:
         from multimodal_content_moderation_tpu.ops.pallas_attention import fused_mha
 
         interpret = jax.default_backend() == "cpu"
@@ -203,6 +221,8 @@ def mha(
             cols = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 1)
             logits = jnp.where(cols <= rows, logits, jnp.asarray(-jnp.inf, sdt))
         weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x_q.dtype)
+        if drop_active:
+            weights = dropout(weights, probs_dropout, dropout_rng)
         out = jnp.einsum(
             "bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32
         ).astype(x_q.dtype)
@@ -244,7 +264,7 @@ def transformer_block(
         )
         res = x
         y = layer_norm(x, p["ln2"], eps)
-        y = dense(y, p["fc1"])
+        y = dense_maybe_int8(y, p["fc1"])  # opt-in int8 fc1 (ops/quant.py)
         y = activation(y)
         y = dense(y, p["fc2"])
         return res + y

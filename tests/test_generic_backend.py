@@ -360,6 +360,59 @@ def test_generic_init_distinct_rng_streams():
     )
 
 
+def test_generic_text_tower_train_dropout():
+    """HF train-mode dropout (defaults 0.1) is active exactly when a
+    dropout_rng is threaded; zero-prob configs are identity even with an
+    rng (ADVICE r4: the reference fine-tunes these towers with dropout)."""
+    import dataclasses
+
+    from multimodal_content_moderation_tpu.models.generic import generic_init
+
+    cfg = GenericDualConfig.from_dict(
+        {"text_config": TINY_BERT, "vision_config": TINY_VIT}
+    )
+    assert cfg.text.hidden_dropout_prob == pytest.approx(0.1)
+    assert cfg.text.attention_probs_dropout_prob == pytest.approx(0.1)
+    params = generic_init(jax.random.key(0), cfg)
+    ids, mask, _ = _inputs(seed=20)
+
+    ev1 = np.asarray(generic_text_pooled(params, jnp.asarray(ids), jnp.asarray(mask), cfg.text))
+    ev2 = np.asarray(generic_text_pooled(params, jnp.asarray(ids), jnp.asarray(mask), cfg.text))
+    np.testing.assert_array_equal(ev1, ev2)  # eval: deterministic
+
+    tr = np.asarray(
+        generic_text_pooled(
+            params, jnp.asarray(ids), jnp.asarray(mask), cfg.text,
+            dropout_rng=jax.random.key(1),
+        )
+    )
+    assert np.abs(tr - ev1).max() > 1e-6  # train: dropout active
+
+    zero = dataclasses.replace(
+        cfg.text, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0
+    )
+    tr0 = np.asarray(
+        generic_text_pooled(
+            params, jnp.asarray(ids), jnp.asarray(mask), zero,
+            dropout_rng=jax.random.key(1),
+        )
+    )
+    ev0 = np.asarray(
+        generic_text_pooled(params, jnp.asarray(ids), jnp.asarray(mask), zero)
+    )
+    np.testing.assert_array_equal(tr0, ev0)
+
+
+def test_generic_rejects_nonzero_vision_dropout():
+    with pytest.raises(ValueError, match="vision-tower dropout"):
+        GenericDualConfig.from_dict(
+            {
+                "text_config": TINY_BERT,
+                "vision_config": dict(TINY_VIT, hidden_dropout_prob=0.1),
+            }
+        )
+
+
 def test_generic_fusion_forward_from_encoder_dir(vtde):
     """init_from_encoder_dir converts a VTDE checkpoint into a working
     generic FusionModel: finite (B, C) logits, presence-flag degradation,
