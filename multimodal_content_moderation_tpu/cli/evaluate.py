@@ -32,10 +32,13 @@ def parse_args(argv=None):
     parser.add_argument("--output", type=str, default=None)
     parser.add_argument(
         "--precision",
-        choices=["fp32", "bf16", "bf16_fast"],
+        choices=["fp32", "bf16", "bf16_fast", "int8_mlp"],
         default="fp32",
         help="fp32 = strict parity; bf16 = mixed precision; bf16_fast adds "
-        "bf16 attention scores (fastest, small logit rounding)",
+        "bf16 attention scores (fastest at parity-grade numerics, small "
+        "logit rounding); int8_mlp = bf16_fast + int8 fc1 GEMMs at the "
+        "measured-winning (768, 3072) shape — OPT-IN, accuracy-impacting "
+        "(quality delta recorded in docs/quality_parity_int8_mlp.json)",
     )
     parser.add_argument(
         "--engine",
@@ -123,7 +126,7 @@ def main(argv=None):
 
     print(f"Loading model from: {args.checkpoint}")
     model, params, config = model_io.load_checkpoint(args.checkpoint, args.encoder_dir)
-    if args.precision in ("bf16", "bf16_fast"):
+    if args.precision in ("bf16", "bf16_fast", "int8_mlp"):
         import jax.numpy as jnp
 
         from multimodal_content_moderation_tpu.models.convert import to_dtype
@@ -131,9 +134,16 @@ def main(argv=None):
         model = model_io.with_performance_options(
             model,
             compute_dtype="bfloat16",
-            scores_dtype="bfloat16" if args.precision == "bf16_fast" else None,
+            scores_dtype="bfloat16" if args.precision != "bf16" else None,
         )
         params = to_dtype(params, jnp.bfloat16)
+    if args.precision == "int8_mlp":
+        from multimodal_content_moderation_tpu.ops.quant import (
+            quantize_fc1_layers,
+        )
+
+        params, nq = quantize_fc1_layers(params)
+        print(f"int8 MLP: quantized {nq} fc1 layers (opt-in, eval-only)")
     if args.attention != "xla":
         model = model_io.with_performance_options(
             model, attention_impl=args.attention

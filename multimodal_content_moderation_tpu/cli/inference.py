@@ -41,7 +41,7 @@ class MultiModalClassifier:
         encoder_dir: Optional[str] = None,
         batch_size: int = 32,
         dtype=None,
-        precision: str = "fp32",  # fp32 | bf16 | bf16_fast
+        precision: str = "fp32",  # fp32 | bf16 | bf16_fast | int8_mlp
         engine: str = "standard",  # "standard" | "fast" (u8 wire + Pallas embed)
         image_backend: str = "pil",  # "pil" | "native" | "native_scaled"
         attention: str = "xla",  # "xla" | "pallas" (fused TPU attention kernels)
@@ -54,7 +54,7 @@ class MultiModalClassifier:
         self.model, self.params, self.config = model_io.load_checkpoint(
             checkpoint_dir, encoder_dir, dtype=dtype
         )
-        if precision in ("bf16", "bf16_fast"):
+        if precision in ("bf16", "bf16_fast", "int8_mlp"):
             import jax.numpy as jnp
 
             from multimodal_content_moderation_tpu.models.convert import to_dtype
@@ -62,9 +62,18 @@ class MultiModalClassifier:
             self.model = model_io.with_performance_options(
                 self.model,
                 compute_dtype="bfloat16",
-                scores_dtype="bfloat16" if precision == "bf16_fast" else None,
+                scores_dtype="bfloat16" if precision != "bf16" else None,
             )
             self.params = to_dtype(self.params, jnp.bfloat16)
+        if precision == "int8_mlp":
+            # opt-in accuracy-impacting tier: bf16_fast + int8 fc1 GEMMs at
+            # the measured-winning (768, 3072) shape (ops/quant.py; quality
+            # delta recorded in docs/quality_parity_int8_mlp.json)
+            from multimodal_content_moderation_tpu.ops.quant import (
+                quantize_fc1_layers,
+            )
+
+            self.params, _ = quantize_fc1_layers(self.params)
         if attention != "xla":
             self.model = model_io.with_performance_options(
                 self.model, attention_impl=attention
@@ -368,7 +377,8 @@ def parse_args(argv=None):
     parser.add_argument("--image_root", type=str, default="")
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument(
-        "--precision", choices=["fp32", "bf16", "bf16_fast"], default="fp32"
+        "--precision", choices=["fp32", "bf16", "bf16_fast", "int8_mlp"],
+        default="fp32"
     )
     parser.add_argument(
         "--engine",

@@ -132,7 +132,17 @@ class FastInferenceEngine:
                 )
 
             self._jit_forward = jit_spmd
-            self.params = jax.device_put(params, repl)
+            # multi-host: every process holds the same host params and
+            # contributes its addressable shards (parallel.mesh.replicate)
+            self._n_proc = jax.process_count()
+            if self._n_proc > 1:
+                from multimodal_content_moderation_tpu.parallel.mesh import (
+                    replicate,
+                )
+
+                self.params = replicate(params, self.mesh)
+            else:
+                self.params = jax.device_put(params, repl)
 
     def patches_from_hwc(self, images_hwc: np.ndarray) -> np.ndarray:
         """[B, H, W, C] uint8 crops -> wire-format patch rows."""
@@ -165,6 +175,38 @@ class FastInferenceEngine:
                 f"({self._data_size}); pick batch_size as a multiple (the "
                 "eval loop pads the last batch, so any full batch works)"
             )
+        if self.mesh is not None and self._n_proc > 1:
+            # Multi-host streaming eval: every process computes the same
+            # global host batch (the prep pipeline is deterministic) and
+            # transfers only its own rows; shard_batch assembles the global
+            # jax.Array from the per-host slices with no cross-host data
+            # movement. Logits are allgathered back so every host returns
+            # the full [B, C] array (the eval loop slices/reorders on host).
+            from jax.experimental import multihost_utils
+
+            from multimodal_content_moderation_tpu.parallel.mesh import (
+                shard_batch,
+            )
+
+            B = ids.shape[0]
+            lb = B // self._n_proc
+            p = jax.process_index()
+            sl = slice(p * lb, (p + 1) * lb)
+            placed = shard_batch(
+                {
+                    "ids": np.asarray(ids)[sl],
+                    "mask": np.asarray(mask)[sl],
+                    "patches": np.asarray(patches_u8)[sl],
+                    "tp": np.asarray(text_present)[sl],
+                    "ip": np.asarray(image_present)[sl],
+                },
+                self.mesh,
+            )
+            out = self._get_forward(carry_pos)(
+                self.params, placed["ids"], placed["mask"], placed["patches"],
+                placed["tp"], placed["ip"],
+            )
+            return multihost_utils.process_allgather(out, tiled=True)
         return self._get_forward(carry_pos)(
             self.params, ids, mask, patches_u8, text_present, image_present
         )

@@ -219,7 +219,9 @@ def _map_head(hidden: jnp.ndarray, p: dict, cfg: SigLIPVisionConfig) -> jnp.ndar
     x = mha(probe, hidden, p["attn"], cfg.num_heads)
     residual = x
     y = layer_norm(x, p["ln"], cfg.layer_norm_eps)
-    y = dense(y, p["fc1"])
+    from multimodal_content_moderation_tpu.ops.layers import dense_maybe_int8
+
+    y = dense_maybe_int8(y, p["fc1"])
     y = ACTIVATIONS[cfg.hidden_act](y)
     y = dense(y, p["fc2"])
     return (residual + y)[:, 0]

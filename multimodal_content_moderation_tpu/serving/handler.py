@@ -32,7 +32,8 @@ def model_fn(model_dir: str, encoder_dir: Optional[str] = None):
 
     Serving knobs come from the environment (the SageMaker way to configure a
     container): MMHARM_ENGINE=fast selects the u8 wire + Pallas embed path,
-    MMHARM_PRECISION in {fp32, bf16, bf16_fast} sets compute precision,
+    MMHARM_PRECISION in {fp32, bf16, bf16_fast, int8_mlp} sets compute
+    precision (int8_mlp = bf16_fast + opt-in int8 fc1 GEMMs, ops/quant.py),
     MMHARM_IMAGE_BACKEND in {pil, native, native_scaled} picks the JPEG
     decode path (native_* = fused C++ libjpeg, GIL-free), and
     MMHARM_ATTENTION in {xla, pallas} picks the attention core (pallas =

@@ -221,6 +221,9 @@ def serve(
         )
         logger.info("cross-request micro-batching on (window %.1f ms)", window_ms)
     server = ThreadingHTTPServer((host, port), _make_request_handler(state))
+    # exposed for in-process reconfiguration (benchmarks sweep MicroBatcher
+    # knobs across measurement windows without reloading the model)
+    server.state = state
     logger.info("model loaded; listening on %s:%d", host, port)
     return server
 

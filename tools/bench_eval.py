@@ -32,7 +32,9 @@ BASELINES = {
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--backend", choices=["clip", "siglip"], default="siglip")
+    ap.add_argument(
+        "--backend", choices=["clip", "siglip", "generic"], default="siglip"
+    )
     ap.add_argument("--head", choices=["fusion", "mtl"], default="fusion")
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--n_samples", type=int, default=4800)
@@ -49,6 +51,12 @@ def main():
     ap.add_argument(
         "--text_attention", choices=["xla", "pallas"], default="xla",
         help="attention core for the text tower",
+    )
+    ap.add_argument(
+        "--int8_mlp", action="store_true",
+        help="opt-in int8 fc1 GEMMs at the measured-winning (768, 3072) "
+        "shape (ops/quant.py; accuracy-impacting — quality delta in "
+        "docs/quality_parity_int8_mlp.json)",
     )
     ap.add_argument(
         "--decompose", action="store_true",
@@ -78,8 +86,17 @@ def main():
 
     cls = MultiTaskModel if args.head == "mtl" else FusionModel
     kw = {"num_tasks": 5} if args.head == "mtl" else {"num_labels": 5}
+    if args.backend == "generic":
+        # ViT-B/16 + BERT-base VisionTextDualEncoder at the canonical shape,
+        # with the checkpoint-level projection the fusion head consumes
+        from multimodal_content_moderation_tpu.models.generic import (
+            GenericDualConfig,
+        )
+
+        kw["generic_config"] = GenericDualConfig(projection_dim=512)
     model = cls.create(args.backend, **kw)
-    cfg = model.clip_config if args.backend == "clip" else model.siglip_config
+    field = f"{args.backend}_config"
+    cfg = getattr(model, field)
     bf = lambda c: dataclasses.replace(
         c, compute_dtype="bfloat16", scores_dtype="bfloat16"
     )
@@ -90,9 +107,15 @@ def main():
             bf(cfg.vision), attention_impl=args.vision_attention
         ),
     )
-    field = "clip_config" if args.backend == "clip" else "siglip_config"
     model = dataclasses.replace(model, **{field: cfg})
     params = to_dtype(model.init(jax.random.key(0)), jnp.bfloat16)
+    if args.int8_mlp:
+        from multimodal_content_moderation_tpu.ops.quant import (
+            quantize_fc1_layers,
+        )
+
+        params, nq = quantize_fc1_layers(params)
+        print(f"[bench-eval] int8 fc1 layers: {nq}", file=sys.stderr)
     mean, std = (
         (CLIP_MEAN, CLIP_STD) if args.backend == "clip" else (SIGLIP_MEAN, SIGLIP_STD)
     )
@@ -225,6 +248,15 @@ def main():
                 b["vision_model"]["map_head"],
                 scfg.vision,
             )
+        elif args.backend == "generic":
+            from multimodal_content_moderation_tpu.models import generic as gen
+
+            gcfg = mdl.generic_config
+            text_fn = lambda b, ids, m: gen.generic_text_features(b, ids, m, gcfg)
+            vis_fn = lambda b, p: gen.generic_image_features_from_tokens(
+                b, mdl._embed_u8(b, p), gcfg
+            )
+            pool_fn, hid_st = None, None
         else:
             ccfg = mdl.clip_config
             text_fn = lambda b, ids, m: clip_mod.clip_text_features(b, ids, m, ccfg)

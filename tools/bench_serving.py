@@ -179,6 +179,13 @@ def main(argv=None):
     ap.add_argument("--small_clients", type=int, default=8)
     ap.add_argument("--mixed_seconds", type=float, default=30.0,
                     help="duration of the mixed-traffic measurement window")
+    ap.add_argument("--bypass_sweep", default="",
+                    help="with --mixed: comma-separated bypass thresholds "
+                    "(e.g. 'off,0,8,16,32'; 'off' = MicroBatcher disabled) "
+                    "swept as adjacent windows IN ONE PROCESS on the same "
+                    "loaded engine — the only sound way to A/B serving "
+                    "configs here (tunnel-window variance is +-40% across "
+                    "processes)")
     ap.add_argument("--coldstart", action="store_true",
                     help="measure time-to-first-prediction only: model load "
                     "(incl. bucket-ladder prewarm compiles) + first B=1 and "
@@ -255,68 +262,107 @@ def main(argv=None):
                 # window. The question (VERDICT r3 #3): do the MicroBatcher's
                 # small-request coalescing and the pipelined device lock's
                 # batch throughput coexist, or does one starve the other?
-                stop = time.perf_counter() + args.mixed_seconds
-                small_lat, batch_done = [], []
-                lk = threading.Lock()
+                def mixed_window() -> dict:
+                    stop = time.perf_counter() + args.mixed_seconds
+                    small_lat, batch_done = [], []
+                    lk = threading.Lock()
 
-                def small_client(cid: int):
-                    i = 0
-                    while time.perf_counter() < stop:
-                        t0 = time.perf_counter()
-                        post(url, {
-                            "text": texts[(cid * 97 + i) % len(texts)],
-                            "image": images[(cid + i) % len(images)],
-                        })
-                        with lk:
-                            small_lat.append(time.perf_counter() - t0)
-                        i += 1
+                    def small_client(cid: int):
+                        i = 0
+                        while time.perf_counter() < stop:
+                            t0 = time.perf_counter()
+                            post(url, {
+                                "text": texts[(cid * 97 + i) % len(texts)],
+                                "image": images[(cid + i) % len(images)],
+                            })
+                            with lk:
+                                small_lat.append(time.perf_counter() - t0)
+                            i += 1
 
-                def batch_client(cid: int):
-                    r = 0
-                    while time.perf_counter() < stop:
-                        body = {"instances": [
-                            {"text": texts[(cid * 131 + r * 17 + i) % len(texts)],
-                             "image": images[(cid + r + i) % len(images)]}
-                            for i in range(args.batch_size)
-                        ]}
-                        post(url, body)
-                        with lk:
-                            batch_done.append(args.batch_size)
-                        r += 1
+                    def batch_client(cid: int):
+                        r = 0
+                        while time.perf_counter() < stop:
+                            body = {"instances": [
+                                {"text": texts[(cid * 131 + r * 17 + i) % len(texts)],
+                                 "image": images[(cid + r + i) % len(images)]}
+                                for i in range(args.batch_size)
+                            ]}
+                            post(url, body)
+                            with lk:
+                                batch_done.append(args.batch_size)
+                            r += 1
 
-                threads = [
-                    threading.Thread(target=small_client, args=(c,))
-                    for c in range(args.small_clients)
-                ] + [
-                    threading.Thread(target=batch_client, args=(c,))
-                    for c in range(args.clients)
-                ]
-                t0 = time.perf_counter()
-                for th in threads:
-                    th.start()
-                for th in threads:
-                    th.join()
-                dt = time.perf_counter() - t0
-                sl = sorted(x * 1000 for x in small_lat)
-                qq = lambda p: (
-                    sl[min(len(sl) - 1, int(p * len(sl)))] if sl else None
-                )
-                result = {
-                    "metric": "serving_mixed_traffic",
+                    threads = [
+                        threading.Thread(target=small_client, args=(c,))
+                        for c in range(args.small_clients)
+                    ] + [
+                        threading.Thread(target=batch_client, args=(c,))
+                        for c in range(args.clients)
+                    ]
+                    t0 = time.perf_counter()
+                    for th in threads:
+                        th.start()
+                    for th in threads:
+                        th.join()
+                    dt = time.perf_counter() - t0
+                    sl = sorted(x * 1000 for x in small_lat)
+                    qq = lambda p: (
+                        sl[min(len(sl) - 1, int(p * len(sl)))] if sl else None
+                    )
+                    return {
+                        "value": round(
+                            (len(small_lat) + sum(batch_done)) / dt, 1
+                        ),
+                        "small_requests_per_s": round(len(small_lat) / dt, 1),
+                        "small_p50_ms": round(qq(0.50), 1) if sl else None,
+                        "small_p99_ms": round(qq(0.99), 1) if sl else None,
+                        "batch_samples_per_s": round(sum(batch_done) / dt, 1),
+                        "window_s": round(dt, 1),
+                    }
+
+                common = {
                     "unit": "samples/s",
-                    "value": round((len(small_lat) + sum(batch_done)) / dt, 1),
-                    "small_requests_per_s": round(len(small_lat) / dt, 1),
-                    "small_p50_ms": round(qq(0.50), 1) if sl else None,
-                    "small_p99_ms": round(qq(0.99), 1) if sl else None,
-                    "batch_samples_per_s": round(sum(batch_done) / dt, 1),
                     "small_clients": args.small_clients,
                     "batch_clients": args.clients,
                     "request_batch": args.batch_size,
-                    "window_s": round(dt, 1),
                     "microbatch_ms": args.microbatch_ms,
-                    "microbatch_bypass": args.microbatch_bypass,
                     "engine": args.engine,
                 }
+                if args.bypass_sweep:
+                    st = httpd.state
+                    if st.batcher is None:
+                        raise SystemExit(
+                            "--bypass_sweep requires --microbatch_ms > 0"
+                        )
+                    saved = st.batcher
+                    sweep = []
+                    for tok in args.bypass_sweep.split(","):
+                        tok = tok.strip()
+                        if not tok:
+                            continue
+                        if tok == "off":
+                            st.batcher = None
+                        else:
+                            st.batcher = saved
+                            saved._bypass_n = int(tok)
+                        w = mixed_window()
+                        w["bypass"] = tok
+                        sweep.append(w)
+                        print(json.dumps({"window": w}), flush=True)
+                    st.batcher = saved
+                    result = dict(
+                        metric="serving_mixed_traffic_bypass_sweep",
+                        value=max(w["value"] for w in sweep),
+                        sweep=sweep,
+                        **common,
+                    )
+                else:
+                    result = dict(
+                        metric="serving_mixed_traffic",
+                        microbatch_bypass=args.microbatch_bypass,
+                        **mixed_window(),
+                        **common,
+                    )
                 print(json.dumps(result))
                 return result
 

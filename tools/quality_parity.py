@@ -330,11 +330,16 @@ def train_jax(model, params, train_ds, val_ds, orders, batch_size, lr, wd,
     fwd = jax.jit(
         lambda p, b: model.apply(p, b)["logits"].astype(jnp_f32())
     )
-    all_logits, all_labels = [], []
-    for b in batches_for(val_ds, np.arange(len(val_ds)), batch_size):
-        all_logits.append(np.asarray(fwd(params, prep(b, with_labels=False))))
-        all_labels.append(b["labels"])
-    return losses, np.concatenate(all_logits), np.concatenate(all_labels)
+
+    def eval_val(p):
+        all_logits, all_labels = [], []
+        for b in batches_for(val_ds, np.arange(len(val_ds)), batch_size):
+            all_logits.append(np.asarray(fwd(p, prep(b, with_labels=False))))
+            all_labels.append(b["labels"])
+        return np.concatenate(all_logits), np.concatenate(all_labels)
+
+    logits, labels = eval_val(params)
+    return losses, logits, labels, (params, eval_val)
 
 
 def jnp_f32():
@@ -361,6 +366,7 @@ def run(
     head_hidden_dim: int = 0,
     backend: str = "clip",
     jax_fast: bool = False,
+    int8_eval: bool = False,
 ) -> dict:
     from multimodal_content_moderation_tpu.cli.common import image_stats_from_dir
     from multimodal_content_moderation_tpu.data.dataset import CSVDataset
@@ -467,7 +473,7 @@ def run(
     t_losses, t_logits, labels = train_torch(
         oracle, train_ds, val_ds, orders, batch_size, lr, weight_decay, dropout_off
     )
-    j_losses, j_logits, _ = train_jax(
+    j_losses, j_logits, _, (j_final_params, j_eval_val) = train_jax(
         jmodel, jparams, j_train_ds, j_val_ds, orders, batch_size, lr,
         weight_decay, dropout_off, seed, fast=fast,
     )
@@ -497,6 +503,35 @@ def run(
         if mode == "locked"
         else None,
     }
+    if int8_eval:
+        # quantify the OPT-IN int8_mlp eval tier: same trained params, val
+        # evaluated with the production selective int8 fc1 quantization
+        # (ops/quant.py) vs the model's own fp32/bf16 logits and the torch
+        # reference metrics
+        from multimodal_content_moderation_tpu.ops.quant import (
+            quantize_fc1_layers,
+        )
+
+        q_params, nq = quantize_fc1_layers(j_final_params)
+        i_logits, _ = j_eval_val(q_params)
+        i_metrics = cm((i_logits, labels))
+        sig = lambda z: 1.0 / (1.0 + np.exp(-z))
+        report["int8_mlp"] = {
+            "quantized_fc1_layers": nq,
+            "metrics": {k: float(v) for k, v in i_metrics.items()},
+            "delta_vs_torch": {
+                k: float(abs(i_metrics[k] - t_metrics[k])) for k in t_metrics
+            },
+            "delta_vs_jax": {
+                k: float(abs(i_metrics[k] - j_metrics[k])) for k in j_metrics
+            },
+            "max_val_logit_delta_vs_jax": float(
+                np.max(np.abs(i_logits - j_logits))
+            ),
+            "max_val_prob_delta_vs_jax": float(
+                np.max(np.abs(sig(i_logits) - sig(j_logits)))
+            ),
+        }
     return report
 
 
@@ -527,6 +562,12 @@ def main(argv=None):
         "torch stays the fp32 reference — proves the fast recipe holds the "
         "quality band",
     )
+    ap.add_argument(
+        "--int8_eval", action="store_true",
+        help="also evaluate the trained JAX model with the opt-in int8_mlp "
+        "tier (selective int8 fc1, ops/quant.py) and report its metric / "
+        "logit deltas",
+    )
     ap.add_argument("--output", default="")
     args = ap.parse_args(argv)
     names = [c for c in args.class_names.split(",") if c] or None
@@ -536,6 +577,7 @@ def main(argv=None):
         args.fusion_dim, args.max_text_length, args.seed,
         head=args.head, head_hidden_dim=args.head_hidden_dim,
         backend=args.backend, jax_fast=args.jax_fast,
+        int8_eval=args.int8_eval,
     )
     print(json.dumps(report, indent=2))
     if args.output:

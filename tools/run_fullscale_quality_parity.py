@@ -186,6 +186,11 @@ def main():
         "the +-0.005 band at full scale (VERDICT r3 #2)",
     )
     ap.add_argument(
+        "--int8_eval", action="store_true",
+        help="also evaluate the trained JAX model with the opt-in int8_mlp "
+        "tier and record its deltas in the artifact (VERDICT r4 #7)",
+    )
+    ap.add_argument(
         "--platform", choices=["cpu", "tpu"], default="cpu",
         help="tpu runs the JAX side on the real chip (Pallas kernels, the "
         "true production config); cpu uses the XLA reference paths",
@@ -196,6 +201,8 @@ def main():
         suffix = "" if args.backend == "clip" else f"_{args.backend}"
         if args.jax_fast:
             suffix += "_fast"
+        if args.int8_eval:
+            suffix += "_int8"
         args.output = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "docs", f"quality_parity_fullscale{suffix}.json",
@@ -238,6 +245,7 @@ def main():
             head_hidden_dim=256 if args.head == "mtl" else 0,
             backend=args.backend,
             jax_fast=args.jax_fast,
+            int8_eval=args.int8_eval,
         )
     report["scale"] = {
         "text": "12L/8H/d512" if args.backend == "clip" else "12L/12H/d768",
