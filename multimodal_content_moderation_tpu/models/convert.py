@@ -263,6 +263,7 @@ def mtl_model_from_torch(
         backbone = generic_params_from_torch(sd, generic_cfg, prefix="backbone.")
         backbone.pop("text_projection", None)
         backbone.pop("visual_projection", None)
+        backbone.pop("logit_scale", None)
     else:
         backbone = siglip_params_from_torch(sd, siglip_cfg, prefix="backbone.")
     return {"backbone": backbone, "head": mtl_head_from_torch(sd, num_tasks)}

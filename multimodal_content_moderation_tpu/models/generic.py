@@ -308,6 +308,12 @@ def generic_init(rng: jax.Array, cfg: GenericDualConfig, dtype=jnp.float32) -> d
             )
             * 0.02
         }
+        # VisionTextDualEncoderModel always carries a scalar logit_scale
+        # (logit_scale_init_value default 2.6592). Unused by the fusion/MTL
+        # forwards, but kept so init and checkpoint-converted pytrees have
+        # identical structure (Orbax restore templates require it) and so
+        # exports strict-load in the reference.
+        params["logit_scale"] = jnp.asarray(2.6592, dtype)
     return params
 
 

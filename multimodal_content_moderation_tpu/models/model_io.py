@@ -228,6 +228,7 @@ def init_from_encoder_dir(
             if isinstance(model, MultiTaskModel):
                 backbone.pop("text_projection", None)
                 backbone.pop("visual_projection", None)
+                backbone.pop("logit_scale", None)
         else:
             backbone = convert.siglip_params_from_torch(sd, model.siglip_config)
         params["backbone"] = jax.tree_util.tree_map(jnp.asarray, backbone)

@@ -224,7 +224,12 @@ class MultiTaskModel:
             backbone.pop("visual_projection", None)
             backbone.pop("logit_scale", None)
         elif self.backend == "generic":
-            backbone = generic_mod.generic_init(kb, self.generic_config, dtype)
+            # MTL pools the raw towers (multitask.py:130-154) — the
+            # checkpoint-level projections/logit_scale are popped by
+            # init_from_encoder_dir, so from-scratch init must not create
+            # them either (Orbax restore templates come from init)
+            gcfg = dataclasses.replace(self.generic_config, projection_dim=0)
+            backbone = generic_mod.generic_init(kb, gcfg, dtype)
             # raw towers only (reference MTL auto path, multitask.py:130-154)
             backbone.pop("text_projection", None)
             backbone.pop("visual_projection", None)
