@@ -43,6 +43,7 @@ import numpy as np
 from multimodal_content_moderation_tpu.ops.layers import (
     ACTIVATIONS,
     dense,
+    dense_maybe_int8,
     dropout,
     layer_norm,
     mha,
@@ -350,7 +351,7 @@ def _postln_block(
         )
         attn_out = dropout(attn_out, cfg.hidden_dropout_prob, r_attn)
         x = layer_norm(x + attn_out, p["ln1"], cfg.layer_norm_eps)
-        y = act(dense(x, p["fc1"]))
+        y = act(dense_maybe_int8(x, p["fc1"]))  # opt-in int8 fc1 (ops/quant)
         y = dropout(dense(y, p["fc2"]), cfg.hidden_dropout_prob, r_mlp)
         return layer_norm(x + y, p["ln2"], cfg.layer_norm_eps)
 

@@ -127,6 +127,40 @@ def test_siglip_forward_with_int8_fc1_close_to_fp32():
     assert np.max(np.abs(p_got - p_ref)) < 0.05, np.max(np.abs(p_got - p_ref))
 
 
+def test_generic_text_tower_int8_close_to_fp32():
+    """The BERT-style post-LN block (generic backend) honors quantized fc1
+    leaves too — it calls dense_maybe_int8 directly, not transformer_block."""
+    from multimodal_content_moderation_tpu.models.generic import (
+        GenericDualConfig,
+        generic_init,
+        generic_text_pooled,
+    )
+
+    cfg = GenericDualConfig.from_dict(
+        {
+            "text_config": dict(
+                model_type="bert", vocab_size=120, hidden_size=32,
+                num_hidden_layers=2, num_attention_heads=2,
+                intermediate_size=64, max_position_embeddings=32,
+            ),
+            "vision_config": dict(
+                model_type="vit", hidden_size=32, num_hidden_layers=1,
+                num_attention_heads=2, intermediate_size=64, image_size=32,
+                patch_size=16,
+            ),
+        }
+    )
+    params = generic_init(jax.random.key(5), cfg)
+    qparams, n = quantize_fc1_layers(params, shape=None)
+    assert n == 3  # 2 text + 1 vision trunk fc1
+    g = np.random.default_rng(6)
+    ids = jnp.asarray(g.integers(1, 119, size=(3, 10)).astype(np.int32))
+    mask = jnp.asarray(np.ones((3, 10), np.int32))
+    ref = np.asarray(generic_text_pooled(params, ids, mask, cfg.text))
+    got = np.asarray(generic_text_pooled(qparams, ids, mask, cfg.text))
+    assert np.max(np.abs(got - ref)) < 0.05, np.max(np.abs(got - ref))
+
+
 def test_inference_api_int8_precision(trained_run):
     """`--precision int8_mlp` through the inference API: runs end-to-end and
     stays probability-close to bf16_fast on the same checkpoint."""
