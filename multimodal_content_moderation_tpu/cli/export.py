@@ -52,6 +52,8 @@ def main(argv=None):
         for name in (
             "vocab.json",
             "merges.txt",
+            "vocab.txt",  # BERT-family WordPiece (generic backend)
+            "special_tokens_map.json",
             "tokenizer.json",
             "tokenizer_config.json",
             "preprocessor_config.json",
